@@ -1,0 +1,84 @@
+"""Multi-head self-attention, parameter-compatible with
+torch.nn.MultiheadAttention (packed in-projection + out-projection).
+
+Used by the FTF bottleneck blocks over the frequency axis
+(reference: models/generator.py:78-82, 133-134) and the time axis
+(reference: models/generator.py:194-198, 245-246).
+
+Also implements the banded-causal time mask that the reference's
+`max_time_context` flag was *meant* to enable but never did
+(SURVEY.md §2.10: the scripted ground-truth uses a 64-frame look-back
+band `triu(ones,-W) - triu(ones,1)`). Banded attention makes the time
+axis linear-cost for long utterances -- the idiomatic TPU answer to
+long-context enhancement.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+__all__ = ["MultiHeadSelfAttention", "banded_causal_mask"]
+
+
+def banded_causal_mask(length: int, lookback: int) -> jax.Array:
+    """Boolean [S, S] mask, True = attend. Position t attends to
+    [t - lookback, t] (inclusive)."""
+    q = jnp.arange(length)[:, None]
+    k = jnp.arange(length)[None, :]
+    return (k <= q) & (k >= q - lookback)
+
+
+class MultiHeadSelfAttention(nn.Module):
+    """Self-attention matching torch.nn.MultiheadAttention numerics.
+
+    Parameters mirror torch's packed layout (so the PyTorch converter is a
+    transpose): `in_proj` kernel [E, 3E], bias [3E]; `out_proj` kernel
+    [E, E], bias [E]. Softmax and scaling (1/sqrt(head_dim)) follow torch.
+    """
+
+    embed_dim: int = 64
+    num_heads: int = 4
+
+    @nn.compact
+    def __call__(self,
+                 x: jax.Array,
+                 mask: Optional[jax.Array] = None) -> jax.Array:
+        """x: [B, S, E]; mask: optional [S, S] bool (True = attend)."""
+        B, S, E = x.shape
+        if E != self.embed_dim:
+            raise ValueError(f"Expected embed dim {self.embed_dim}, got {E}")
+        nh = self.num_heads
+        hd = E // nh
+
+        # torch initializes in_proj with xavier_uniform, out_proj kaiming-ish;
+        # xavier is a fine default for both here.
+        in_kernel = self.param("in_proj_kernel", nn.initializers.xavier_uniform(),
+                               (E, 3 * E))
+        in_bias = self.param("in_proj_bias", nn.initializers.zeros, (3 * E,))
+        out_kernel = self.param("out_proj_kernel",
+                                nn.initializers.xavier_uniform(), (E, E))
+        out_bias = self.param("out_proj_bias", nn.initializers.zeros, (E,))
+
+        qkv = jnp.einsum("bse,ef->bsf", x, in_kernel,
+                         preferred_element_type=jnp.float32) + in_bias
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+
+        def heads(t):  # [B, S, E] -> [B, nh, S, hd]
+            return t.reshape(B, S, nh, hd).transpose(0, 2, 1, 3)
+
+        q, k, v = heads(q), heads(k), heads(v)
+        scores = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                            preferred_element_type=jnp.float32)
+        scores = scores / jnp.sqrt(jnp.asarray(hd, scores.dtype))
+        if mask is not None:
+            scores = jnp.where(mask[None, None], scores, -jnp.inf)
+        attn = jax.nn.softmax(scores, axis=-1)
+        out = jnp.einsum("bhqk,bhkd->bhqd", attn, v,
+                         preferred_element_type=jnp.float32)
+        out = out.transpose(0, 2, 1, 3).reshape(B, S, E)
+        return jnp.einsum("bse,ef->bsf", out, out_kernel,
+                          preferred_element_type=jnp.float32) + out_bias
