@@ -1,0 +1,130 @@
+"""Weight-normalized / spectral-normalized convolutions for the waveform
+discriminators (reference: models/discriminators.py:33, :162 use
+torch.nn.utils.weight_norm / spectral_norm on every conv).
+
+Weight norm follows torch's dim=0 semantics exactly: the direction tensor v
+is normalized over all axes except the output-channel axis, and a per-output
+gain g rescales it:  w = g * v / ||v||.  In our HWIO/WIO kernel layout the
+output channel is the LAST axis, so the norm reduces over all leading axes.
+
+Spectral norm power-iterates u on the [out, -1] matricization, one step per
+call when `update_stats` is mutable (training), matching
+torch.nn.utils.spectral_norm defaults (n_power_iterations=1, eps=1e-12).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+__all__ = ["WNConv", "SNConv"]
+
+
+def _conv(x: jax.Array, kernel: jax.Array, bias: jax.Array,
+          strides: Sequence[int], padding: Sequence[Tuple[int, int]],
+          groups: int) -> jax.Array:
+    ndim_sp = kernel.ndim - 2
+    if ndim_sp == 1:
+        dn = ("NWC", "WIO", "NWC")
+    elif ndim_sp == 2:
+        dn = ("NHWC", "HWIO", "NHWC")
+    else:
+        raise ValueError(f"Unsupported spatial rank {ndim_sp}")
+    y = jax.lax.conv_general_dilated(
+        x, kernel,
+        window_strides=tuple(strides),
+        padding=tuple(padding),
+        dimension_numbers=dn,
+        feature_group_count=groups,
+    )
+    return y + bias
+
+
+class WNConv(nn.Module):
+    """Conv (1D or 2D by kernel_size rank) with torch-style weight norm."""
+
+    features: int
+    kernel_size: Tuple[int, ...]
+    strides: Tuple[int, ...]
+    padding: Tuple[int, ...]
+    groups: int = 1
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        in_ch = x.shape[-1]
+        kshape = (*self.kernel_size, in_ch // self.groups, self.features)
+
+        v = self.param(
+            "v",
+            nn.initializers.variance_scaling(1 / 3, "fan_in", "uniform",
+                                             in_axis=-2, out_axis=-1),
+            kshape)
+        # torch weight_norm initializes g = ||v|| so w == v at init.
+        g = self.param(
+            "g",
+            lambda key, shape: jnp.sqrt(
+                jnp.sum(jnp.square(v), axis=tuple(range(v.ndim - 1)))),
+            (self.features,))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+
+        axes = tuple(range(v.ndim - 1))
+        norm = jnp.sqrt(jnp.sum(jnp.square(v), axis=axes, keepdims=True))
+        kernel = v * (g / jnp.maximum(norm, 1e-12))
+        pads = tuple((p, p) for p in self.padding)
+        return _conv(x, kernel, bias, self.strides, pads, self.groups)
+
+
+class SNConv(nn.Module):
+    """Conv (1D or 2D) with torch-style spectral norm (1 power iteration).
+
+    The left singular vector estimate `u` lives in the mutable
+    'spectral' variable collection; pass mutable=['spectral'] during
+    training applies to update it.
+    """
+
+    features: int
+    kernel_size: Tuple[int, ...]
+    strides: Tuple[int, ...]
+    padding: Tuple[int, ...]
+    groups: int = 1
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        in_ch = x.shape[-1]
+        kshape = (*self.kernel_size, in_ch // self.groups, self.features)
+        w = self.param(
+            "kernel",
+            nn.initializers.variance_scaling(1 / 3, "fan_in", "uniform",
+                                             in_axis=-2, out_axis=-1),
+            kshape)
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+
+        # Matricize with the output channel first (torch views weight as
+        # [out, -1] for the power iteration).
+        perm = (w.ndim - 1, *range(w.ndim - 1))
+        mat = w.transpose(perm).reshape(self.features, -1)
+
+        u_var = self.variable(
+            "spectral", "u",
+            lambda: jax.random.normal(self.make_rng("params")
+                                      if self.has_rng("params") else
+                                      jax.random.PRNGKey(0),
+                                      (self.features,)))
+        u = u_var.value
+
+        def l2norm(t):
+            return t / jnp.maximum(jnp.linalg.norm(t), 1e-12)
+
+        v = l2norm(mat.T @ u)
+        u_new = l2norm(mat @ v)
+        sigma = u_new @ (mat @ v)
+        # Updates apply only when the 'spectral' collection is mutable
+        # (training); flax ignores writes otherwise.
+        u_var.value = jax.lax.stop_gradient(u_new)
+
+        kernel = w / jnp.maximum(sigma, 1e-12)
+        pads = tuple((p, p) for p in self.padding)
+        return _conv(x, kernel, bias, self.strides, pads, self.groups)
