@@ -1,0 +1,138 @@
+"""Host-side batching + prefetching pipeline.
+
+Replaces the reference's torch DataLoader stack (train.py:97-142) with a
+TPU-shaped pipeline:
+
+  * train batches are FIXED-SHAPE (segment_length samples) so the jitted
+    train step compiles exactly once;
+  * val/infer batches use bucketed padding (power-of-two-ish length
+    buckets) with explicit `lengths`, bounding the number of distinct
+    compiled shapes;
+  * a background thread decodes/crops the next batches while the device
+    computes (the host never blocks the TPU);
+  * batches are placed on device with `jax.device_put` under an explicit
+    Sharding so the leading batch axis lands sharded across the data-
+    parallel mesh axis without a host-side split.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Dict, Iterator, List, Optional, Sequence
+
+import numpy as np
+
+from lct_gan_tpu.data.dataset import ScpDataset, collate
+
+__all__ = ["batch_iterator", "Prefetcher", "bucket_length"]
+
+
+def bucket_length(n: int, min_bucket: int = 16384) -> int:
+    """Smallest padded length >= n from a {1, 1.25, 1.5, 1.75} x 2^k grid.
+
+    Geometric buckets cap the distinct jit shapes at O(log T) while wasting
+    <= 25% padding.
+    """
+    if n <= min_bucket:
+        return min_bucket
+    b = min_bucket
+    while b < n:
+        b *= 2
+    half = b // 2
+    for num in (5, 6, 7):  # half * 1.25 / 1.5 / 1.75
+        cand = half * num // 4
+        if cand >= n:
+            return cand
+    return b
+
+
+def batch_iterator(
+    dataset: ScpDataset,
+    batch_size: int,
+    *,
+    shuffle: bool = False,
+    drop_last: bool = False,
+    pad_to_segment: bool = False,
+    bucket: bool = False,
+    seed: int = 0,
+    epoch: int = 0,
+) -> Iterator[Dict]:
+    """Yield collated numpy batches from a ScpDataset.
+
+    pad_to_segment: pad every batch to dataset.segment_length (fixed-shape
+      training batches).
+    bucket: pad full utterances to geometric length buckets (val/infer).
+    """
+    order = np.arange(len(dataset))
+    if shuffle:
+        rng = np.random.default_rng(np.random.SeedSequence([seed, epoch]))
+        rng.shuffle(order)
+    n = len(order)
+    end = n - (n % batch_size) if drop_last else n
+    for i in range(0, end, batch_size):
+        idx = order[i:i + batch_size]
+        samples = [dataset[int(j)] for j in idx]
+        pad_to: Optional[int] = None
+        if pad_to_segment and dataset.segment_length is not None:
+            pad_to = dataset.segment_length
+        elif bucket:
+            mx = max(
+                max(s["noisy"].shape[-1], s["clean"].shape[-1])
+                for s in samples)
+            pad_to = bucket_length(mx)
+        yield collate(samples, pad_to=pad_to)
+
+
+class Prefetcher:
+    """Background-thread prefetcher with optional device placement.
+
+    Wraps any iterator of {str: np.ndarray} batches; decodes ahead of the
+    consumer and (optionally) device_puts arrays under a sharding.
+    """
+
+    _SENTINEL = object()
+
+    def __init__(self,
+                 it: Iterator[Dict],
+                 depth: int = 2,
+                 sharding=None,
+                 array_keys: Sequence[str] = ("noisy", "clean")):
+        self._q: "queue.Queue" = queue.Queue(maxsize=depth)
+        self._sharding = sharding
+        self._array_keys = array_keys
+        self._err: Optional[BaseException] = None
+        self._thread = threading.Thread(
+            target=self._worker, args=(it,), daemon=True)
+        self._thread.start()
+
+    def _worker(self, it):
+        try:
+            for batch in it:
+                self._q.put(self._place(batch))
+        except BaseException as e:  # surfaced on the consumer side
+            self._err = e
+        finally:
+            self._q.put(self._SENTINEL)
+
+    def _place(self, batch: Dict) -> Dict:
+        if self._sharding is None:
+            return batch
+        import jax
+
+        out = dict(batch)
+        for k in self._array_keys:
+            if k in out:
+                out[k] = jax.device_put(out[k], self._sharding)
+        return out
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        item = self._q.get()
+        if item is self._SENTINEL:
+            if self._err is not None:
+                raise self._err
+            raise StopIteration
+        return item

@@ -1,0 +1,141 @@
+"""Data layer tests: wav round-trips, scp dataset semantics, collate,
+bucketing, prefetcher."""
+
+import os
+
+import numpy as np
+import pytest
+
+from lct_gan_tpu.data import (
+    Prefetcher,
+    ScpDataset,
+    batch_iterator,
+    bucket_length,
+    collate,
+    load_mono_wave,
+    read_wav,
+    resample,
+    write_wav,
+)
+
+
+def _make_dataset_tree(root, n=5, sr=16000, seconds=1.0):
+    rng = np.random.default_rng(0)
+    ids = [f"utt{i:03d}" for i in range(n)]
+    for sub in ("clean_train", "noisy_train"):
+        os.makedirs(os.path.join(root, sub), exist_ok=True)
+    lengths = []
+    for i, uid in enumerate(ids):
+        T = int(sr * seconds) + i * 777
+        lengths.append(T)
+        clean = (rng.standard_normal(T) * 0.1).astype(np.float32)
+        noise = (rng.standard_normal(T) * 0.05).astype(np.float32)
+        write_wav(os.path.join(root, "clean_train", f"{uid}.wav"), clean, sr)
+        write_wav(os.path.join(root, "noisy_train", f"{uid}.wav"),
+                  clean + noise, sr)
+    with open(os.path.join(root, "train.scp"), "w") as f:
+        f.write("# comment line\n")
+        for uid in ids:
+            f.write(uid + "\n")
+        f.write("\n")
+    return ids, lengths
+
+
+def test_wav_roundtrip_pcm16(tmp_path):
+    rng = np.random.default_rng(1)
+    x = (rng.standard_normal(4321) * 0.1).astype(np.float32)
+    p = str(tmp_path / "a.wav")
+    write_wav(p, x, 16000)
+    y, sr = read_wav(p)
+    assert sr == 16000 and y.shape == (1, 4321)
+    np.testing.assert_allclose(y[0], x, atol=1.0 / 32768)
+
+
+def test_wav_roundtrip_float32_stereo(tmp_path):
+    rng = np.random.default_rng(2)
+    x = (rng.standard_normal((2, 1000)) * 0.5).astype(np.float32)
+    p = str(tmp_path / "b.wav")
+    write_wav(p, x, 22050, bits=32)
+    y, sr = read_wav(p)
+    assert sr == 22050 and y.shape == (2, 1000)
+    np.testing.assert_allclose(y, x, atol=1e-7)
+    mono, sr2 = load_mono_wave(p)
+    np.testing.assert_allclose(mono, x.mean(axis=0), atol=1e-6)
+
+
+def test_resample_tone():
+    sr, sr2 = 48000, 16000
+    t = np.arange(sr, dtype=np.float64) / sr
+    x = np.sin(2 * np.pi * 440 * t).astype(np.float32)
+    y = resample(x, sr, sr2)
+    assert abs(y.shape[-1] - sr2) <= 1
+    t2 = np.arange(y.shape[-1], dtype=np.float64) / sr2
+    expected = np.sin(2 * np.pi * 440 * t2).astype(np.float32)
+    # Interior matches the ideal tone closely.
+    sl = slice(100, -100)
+    assert np.max(np.abs(y[sl] - expected[sl])) < 5e-3
+
+
+def test_scp_dataset_and_collate(tmp_path):
+    root = str(tmp_path)
+    ids, lengths = _make_dataset_tree(root)
+    ds = ScpDataset(root, "train.scp", "train", sample_rate=16000,
+                    segment_length=8000, random_segment=True)
+    assert len(ds) == len(ids)
+    s = ds[2]
+    assert s["id"] == ids[2]
+    assert s["noisy"].shape == (8000,)
+    assert s["clean"].shape == (8000,)
+
+    full = ScpDataset(root, "train.scp", "train", sample_rate=16000,
+                      segment_length=None)
+    batch = collate([full[i] for i in range(3)])
+    assert batch["noisy"].shape == batch["clean"].shape
+    assert batch["noisy"].shape[1] == max(lengths[:3])
+    assert list(batch["lengths"]) == lengths[:3]
+    # padding is zeros
+    assert batch["noisy"][0, lengths[0]:].max() == 0.0
+
+
+def test_batch_iterator_fixed_shape(tmp_path):
+    root = str(tmp_path)
+    _make_dataset_tree(root)
+    ds = ScpDataset(root, "train.scp", "train", sample_rate=16000,
+                    segment_length=8000, random_segment=True)
+    batches = list(batch_iterator(ds, 2, shuffle=True, drop_last=True,
+                                  pad_to_segment=True, seed=42))
+    assert len(batches) == 2  # 5 // 2
+    for b in batches:
+        assert b["noisy"].shape == (2, 8000)
+
+
+def test_bucket_length_monotone():
+    lens = [1000, 20000, 33000, 50000, 100000, 200000]
+    for n in lens:
+        b = bucket_length(n)
+        assert b >= n
+        assert b <= max(16384, int(n * 1.3))
+    assert len({bucket_length(n) for n in range(16384, 40000, 1000)}) <= 8
+
+
+def test_prefetcher(tmp_path):
+    root = str(tmp_path)
+    _make_dataset_tree(root)
+    ds = ScpDataset(root, "train.scp", "train", sample_rate=16000,
+                    segment_length=8000)
+    it = Prefetcher(batch_iterator(ds, 2, drop_last=True,
+                                   pad_to_segment=True))
+    batches = list(it)
+    assert len(batches) == 2
+    assert batches[0]["noisy"].shape == (2, 8000)
+
+
+def test_prefetcher_propagates_errors():
+    def bad():
+        yield {"noisy": np.zeros((1, 10))}
+        raise RuntimeError("boom")
+
+    it = Prefetcher(bad())
+    next(it)
+    with pytest.raises(RuntimeError, match="boom"):
+        next(it)
