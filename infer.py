@@ -1,0 +1,99 @@
+#!/usr/bin/env python
+"""Batched wav-in/wav-out inference (reference: infer.py:12-195).
+
+Loads a checkpoint (ours, or a reference PyTorch .pt via the converter),
+enhances every utterance in the test scp, and writes
+<output_dir>/<id>.wav. Full utterances are padded to geometric length
+buckets so the jitted enhancer compiles a bounded number of shapes; unlike
+the reference (which saves padded-length wavs, infer.py:150-155 -- a
+documented quirk), outputs are trimmed back to their true lengths.
+"""
+
+import argparse
+import os
+import time
+
+
+def parse_args():
+    parser = argparse.ArgumentParser(description="LCT-GAN inference (TPU)")
+    parser.add_argument("--data_root", type=str, required=True)
+    parser.add_argument("--test_scp", type=str, default="test.scp")
+    parser.add_argument("--sample_rate", type=int, default=16000)
+    parser.add_argument("--checkpoint", type=str, required=True,
+                        help="Orbax checkpoint dir (ckpts/best) or a "
+                             "reference PyTorch .pt file.")
+    parser.add_argument("--output_dir", type=str, default="enhanced_test")
+    parser.add_argument("--batch_size", type=int, default=8)
+    parser.add_argument("--num_workers", type=int, default=4)
+    parser.add_argument("--compress_c", type=float, default=0.3)
+    parser.add_argument("--pad_outputs", action="store_true",
+                        help="Reproduce the reference's quirk of saving "
+                             "padded-length wavs (infer.py:150-155).")
+    return parser.parse_args()
+
+
+def load_generator_params(checkpoint: str, cfg):
+    """Checkpoint -> generator params. Accepts our Orbax dirs and reference
+    .pt files (infer.py:98-128 equivalent)."""
+    from lct_gan_tpu.train import restore_checkpoint
+    from lct_gan_tpu.train.checkpoint import state_from_torch_checkpoint
+
+    if os.path.isdir(checkpoint):
+        state, _ = restore_checkpoint(checkpoint, cfg)
+        return state.g_params
+    state = state_from_torch_checkpoint(checkpoint, cfg)
+    return state.g_params
+
+
+def main():
+    args = parse_args()
+
+    import jax
+    import numpy as np
+
+    from lct_gan_tpu.data import (
+        Prefetcher,
+        ScpDataset,
+        batch_iterator,
+        write_wav,
+    )
+    from lct_gan_tpu.train import TrainConfig, build_models
+
+    cfg = TrainConfig(sample_rate=args.sample_rate,
+                      compress_c=args.compress_c)
+    g_params = load_generator_params(args.checkpoint, cfg)
+    enhancer, _, _ = build_models(cfg)
+
+    @jax.jit
+    def enhance(params, noisy):
+        out, _ = enhancer.apply({"params": params}, noisy)
+        return out
+
+    ds = ScpDataset(args.data_root, args.test_scp, "test",
+                    sample_rate=args.sample_rate, segment_length=None,
+                    random_segment=False)
+    os.makedirs(args.output_dir, exist_ok=True)
+
+    t0 = time.time()
+    total_audio = 0.0
+    n_done = 0
+    it = Prefetcher(
+        batch_iterator(ds, args.batch_size, bucket=True),
+        depth=max(2, args.num_workers))
+    for batch in it:
+        enhanced = np.asarray(enhance(g_params, batch["noisy"]))
+        for i, uid in enumerate(batch["id"]):
+            L = int(batch["lengths"][i])
+            wave = enhanced[i] if args.pad_outputs else enhanced[i, :L]
+            write_wav(os.path.join(args.output_dir, f"{uid}.wav"),
+                      wave, args.sample_rate)
+            total_audio += L / args.sample_rate
+            n_done += 1
+        print(f"[{n_done}/{len(ds)}] enhanced", flush=True)
+    dt = time.time() - t0
+    print(f"Done: {n_done} utterances, {total_audio:.1f}s audio in "
+          f"{dt:.1f}s ({total_audio / max(dt, 1e-9):.2f}x realtime)")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,18 @@
+from lct_gan_tpu.metrics.sisdr import si_sdr, batch_si_sdr
+from lct_gan_tpu.metrics.stoi import stoi
+from lct_gan_tpu.metrics.external import (
+    pesq_score,
+    stoi_score,
+    compute_metrics_for_pair,
+    pesq_available,
+)
+
+__all__ = [
+    "si_sdr",
+    "batch_si_sdr",
+    "stoi",
+    "pesq_score",
+    "stoi_score",
+    "compute_metrics_for_pair",
+    "pesq_available",
+]

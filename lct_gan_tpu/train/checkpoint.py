@@ -1,0 +1,117 @@
+"""Orbax checkpointing with the reference's file roles and logical payload.
+
+Reference contract (train.py:690-719): `last` overwritten every epoch,
+`epoch_%04d` periodic, `best` on val-MR-STFT improvement; payload carries
+model + optimizer states, epoch counters, best-val tracking, val metrics
+and configs. Here the array state (GanTrainState) is an Orbax pytree
+directory and the scalar metadata is a JSON sidecar inside it.
+
+Also provides `state_from_torch_checkpoint`: imports a reference PyTorch
+.pt checkpoint (keys 'enhancer'/'mpd'/'msd', train.py:690-704) into a
+GanTrainState for parity evaluation and warm starts.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+from lct_gan_tpu.train.state import GanTrainState, TrainConfig, create_state
+from lct_gan_tpu.utils import ensure_dir, to_jsonable, write_json
+
+__all__ = [
+    "save_checkpoint",
+    "restore_checkpoint",
+    "latest_checkpoint",
+    "state_from_torch_checkpoint",
+]
+
+_META = "meta.json"
+
+
+def _ckptr() -> ocp.PyTreeCheckpointer:
+    return ocp.PyTreeCheckpointer()
+
+
+def save_checkpoint(ckpt_dir: str, name: str, state: GanTrainState,
+                    meta: Dict[str, Any]) -> str:
+    """Save state under <ckpt_dir>/<name> (overwrites), with JSON meta."""
+    ensure_dir(ckpt_dir)
+    path = os.path.abspath(os.path.join(ckpt_dir, name))
+    tmp = path + ".tmp"
+    if os.path.exists(tmp):
+        import shutil
+
+        shutil.rmtree(tmp)
+    _ckptr().save(tmp, jax.device_get(state))
+    write_json(os.path.join(tmp, _META), meta)
+    if os.path.exists(path):
+        import shutil
+
+        shutil.rmtree(path)
+    os.replace(tmp, path)
+    return path
+
+
+def restore_checkpoint(path: str, cfg: TrainConfig
+                       ) -> Tuple[GanTrainState, Dict[str, Any]]:
+    """Restore a GanTrainState (+ meta) from a checkpoint directory."""
+    path = os.path.abspath(path)
+    abstract = jax.eval_shape(
+        lambda: create_state(cfg, jax.random.PRNGKey(0)))
+    template = jax.tree.map(lambda s: np.zeros(s.shape, s.dtype), abstract)
+    state = _ckptr().restore(path, item=template)
+    meta_path = os.path.join(path, _META)
+    meta: Dict[str, Any] = {}
+    if os.path.exists(meta_path):
+        with open(meta_path, "r", encoding="utf-8") as f:
+            meta = json.load(f)
+    return state, meta
+
+
+def latest_checkpoint(ckpt_dir: str) -> Optional[str]:
+    p = os.path.join(ckpt_dir, "last")
+    return p if os.path.isdir(p) else None
+
+
+def state_from_torch_checkpoint(path: str, cfg: TrainConfig,
+                                rng: Optional[jax.Array] = None
+                                ) -> GanTrainState:
+    """Build a GanTrainState whose model params come from a reference
+    PyTorch checkpoint (optimizer states freshly initialized)."""
+    from lct_gan_tpu.convert.torch_import import (
+        convert_enhancer,
+        convert_mpd,
+        convert_msd,
+        load_torch_state_dict,
+    )
+    from lct_gan_tpu.train.state import make_optimizers
+
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
+    state = create_state(cfg, rng)
+
+    g_params = jax.tree.map(
+        lambda x: np.asarray(x, dtype=np.float32),
+        convert_enhancer(load_torch_state_dict(path, "enhancer")))
+    mpd_params = jax.tree.map(
+        lambda x: np.asarray(x, dtype=np.float32),
+        convert_mpd(load_torch_state_dict(path, "mpd")))
+    msd_params = jax.tree.map(
+        lambda x: np.asarray(x, dtype=np.float32),
+        convert_msd(load_torch_state_dict(path, "msd")))
+
+    g_tx, d_tx = make_optimizers(cfg)
+    return GanTrainState(
+        step=state.step,
+        g_params=g_params,
+        mpd_params=mpd_params,
+        msd_params=msd_params,
+        g_opt_state=g_tx.init(g_params),
+        d_opt_state=d_tx.init({"mpd": mpd_params, "msd": msd_params}),
+    )

@@ -1,0 +1,286 @@
+"""Epoch driver: experiment dirs, data-parallel training, validation with
+metrics, checkpointing, CSV logging, resume.
+
+Mirrors the reference's experiment contract (train.py:525-733):
+run dir <expr_root>/<timestamp>/ with ckpts/, configs.json, metrics.csv;
+validation every val_interval epochs and on the final epoch; best tracked
+by val MR-STFT; `last` checkpoint each epoch, `epoch_%04d` periodic,
+`best` on improvement.
+
+TPU specifics: ONE compiled train step for the whole run (fixed-shape
+segment batches); the val loader's bucketed padding bounds eval
+recompiles; batches stream through a background prefetcher that places
+arrays sharded over the mesh's data axis.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+import os
+import time
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+
+from lct_gan_tpu.data import Prefetcher, ScpDataset, batch_iterator
+from lct_gan_tpu.metrics.external import pesq_score, stoi_score
+from lct_gan_tpu.parallel import (
+    batch_sharding,
+    make_mesh,
+    replicated_sharding,
+)
+from lct_gan_tpu.train.checkpoint import (
+    restore_checkpoint,
+    save_checkpoint,
+)
+from lct_gan_tpu.train.state import TrainConfig, create_state
+from lct_gan_tpu.train.step import make_eval_step, make_train_step
+from lct_gan_tpu.utils import (
+    append_csv_row,
+    ensure_dir,
+    now_timestamp,
+    to_jsonable,
+    write_json,
+)
+
+__all__ = ["DataConfig", "run_training", "validate"]
+
+
+@dataclasses.dataclass(frozen=True)
+class DataConfig:
+    data_root: str
+    train_scp: str = "train.scp"
+    test_scp: str = "test.scp"
+    num_prefetch: int = 4
+
+
+def _pad_batch_to(batch: Dict[str, Any], size: int) -> Dict[str, Any]:
+    """Pad the batch axis to `size` by repeating the last row (keeps jit
+    shapes fixed for the tail batch); `lengths` marks rows as valid."""
+    b = batch["noisy"].shape[0]
+    if b == size:
+        return batch
+    out = dict(batch)
+    reps = size - b
+    for k in ("noisy", "clean"):
+        out[k] = np.concatenate(
+            [batch[k], np.repeat(batch[k][-1:], reps, axis=0)], axis=0)
+    out["lengths"] = np.concatenate(
+        [batch["lengths"], np.zeros((reps,), dtype=np.int64)])
+    out["valid"] = b
+    return out
+
+
+def validate(eval_step, g_params, val_ds: ScpDataset, cfg: TrainConfig,
+             batch_size: int, compute_pesq: bool = True,
+             compute_stoi: bool = True) -> Dict[str, float]:
+    """Full-utterance validation (reference: train.py:285-385).
+
+    MR-STFT and SI-SDR on device (length-masked); PESQ/STOI per utterance
+    on host, with the reference's exception-swallowing for edge cases.
+    """
+    total_mr = 0.0
+    total_si = 0.0
+    total_pesq, n_pesq = 0.0, 0
+    total_stoi, n_stoi = 0.0, 0
+    count = 0
+
+    for batch in batch_iterator(val_ds, batch_size, bucket=True):
+        b = batch["noisy"].shape[0]
+        padded = _pad_batch_to(batch, batch_size)
+        lengths = np.asarray(padded["lengths"])
+        enhanced, m = eval_step(g_params, padded["noisy"], padded["clean"],
+                                lengths)
+        enhanced = np.asarray(enhanced)
+        total_mr += float(m["mrstft"]) * b
+        si = np.asarray(m["si_sdr"])[:b]
+        total_si += float(si.sum())
+
+        for i in range(b):
+            L = int(lengths[i])
+            if L <= 0:
+                continue
+            ref = np.asarray(batch["clean"][i, :L])
+            est = enhanced[i, :L]
+            if compute_pesq:
+                try:
+                    v = pesq_score(ref, est, cfg.sample_rate, "wb")
+                    if math.isfinite(v):
+                        total_pesq += v
+                        n_pesq += 1
+                except Exception:
+                    pass
+            if compute_stoi:
+                try:
+                    v = stoi_score(ref, est, cfg.sample_rate)
+                    if math.isfinite(v):
+                        total_stoi += v
+                        n_stoi += 1
+                except Exception:
+                    pass
+        count += b
+
+    return {
+        "val_mrstft": total_mr / max(count, 1),
+        "val_si_sdr": total_si / max(count, 1),
+        "val_pesq": (total_pesq / n_pesq) if n_pesq else float("nan"),
+        "val_stoi": (total_stoi / n_stoi) if n_stoi else float("nan"),
+    }
+
+
+def run_training(cfg: TrainConfig,
+                 data: DataConfig,
+                 expr_root: str = "exprs",
+                 resume: Optional[str] = None,
+                 mesh=None,
+                 compute_pesq: bool = True,
+                 compute_stoi: bool = True) -> Dict[str, Any]:
+    """Train LCT-GAN end to end. Returns summary info (run_dir, best)."""
+    if mesh is None:
+        mesh = make_mesh()
+    n_dev = mesh.devices.size
+    if cfg.batch_size % n_dev != 0:
+        raise ValueError(
+            f"batch_size {cfg.batch_size} must be divisible by device "
+            f"count {n_dev}")
+
+    # ---- Experiment dirs (train.py:529-549) ----
+    if resume is not None:
+        resume_path = os.path.abspath(resume)
+        ckpt_dir = os.path.dirname(resume_path)
+        run_dir = os.path.dirname(ckpt_dir)
+        if os.path.basename(ckpt_dir) != "ckpts":
+            ckpt_dir = os.path.join(run_dir, "ckpts")
+        print(f"Resuming from: {resume_path}")
+        print(f"Using existing run_dir: {run_dir}")
+    else:
+        run_dir = os.path.join(expr_root, now_timestamp())
+        ckpt_dir = os.path.join(run_dir, "ckpts")
+    ensure_dir(run_dir)
+    ensure_dir(ckpt_dir)
+    configs_path = os.path.join(run_dir, "configs.json")
+    metrics_csv = os.path.join(run_dir, "metrics.csv")
+
+    # ---- Data ----
+    train_ds = ScpDataset(
+        data.data_root, data.train_scp, "train",
+        sample_rate=cfg.sample_rate, segment_length=cfg.segment_length,
+        random_segment=True, seed=cfg.seed)
+    val_ds = ScpDataset(
+        data.data_root, data.test_scp, "test",
+        sample_rate=cfg.sample_rate, segment_length=None,
+        random_segment=False)
+
+    # ---- State / steps ----
+    repl = replicated_sharding(mesh)
+    bsh = batch_sharding(mesh)
+    state = create_state(cfg, jax.random.PRNGKey(cfg.seed))
+    state = jax.device_put(state, repl)
+
+    train_step = jax.jit(
+        make_train_step(cfg),
+        in_shardings=(repl, bsh, bsh),
+        out_shardings=(repl, repl),
+        donate_argnums=(0,),
+    )
+    eval_step = jax.jit(make_eval_step(cfg))
+
+    start_epoch = 1
+    best_val = float("inf")
+    best_epoch = 0
+    if resume is not None:
+        state, meta = restore_checkpoint(resume_path, cfg)
+        state = jax.device_put(state, repl)
+        start_epoch = int(meta.get("epoch", 0)) + 1
+        best_val = float(meta.get("best_val", float("inf")))
+        best_epoch = int(meta.get("best_epoch", 0))
+        print(f"Resumed at epoch {start_epoch} "
+              f"(best_val={best_val:.4f} from epoch {best_epoch}).")
+    else:
+        payload = {
+            "run_dir": run_dir,
+            "created_at": now_timestamp(),
+            "train_cfg": to_jsonable(cfg),
+            "data_cfg": to_jsonable(data),
+            "devices": n_dev,
+        }
+        write_json(configs_path, payload)
+        print(f"Saved configs to: {configs_path}")
+
+    # ---- Epoch loop (train.py:651-731) ----
+    for epoch in range(start_epoch, cfg.epochs + 1):
+        t0 = time.time()
+        it = Prefetcher(
+            batch_iterator(train_ds, cfg.batch_size, shuffle=True,
+                           drop_last=True, pad_to_segment=True,
+                           seed=cfg.seed, epoch=epoch),
+            depth=data.num_prefetch, sharding=bsh)
+        n_steps = 0
+        for step_idx, batch in enumerate(it, 1):
+            state, metrics = train_step(state, batch["noisy"],
+                                        batch["clean"])
+            n_steps += 1
+            if step_idx % cfg.log_interval == 0:
+                m = {k: float(v) for k, v in metrics.items()}
+                print(f"[Epoch {epoch:03d} Step {step_idx:05d}] "
+                      f"D_loss={m['d_loss']:.4f} | "
+                      f"G_loss={m['g_loss']:.4f} | "
+                      f"MR={m['mr_loss']:.4f} | "
+                      f"Mask={m['mask_loss']:.4f} | "
+                      f"Adv={m['adv_loss']:.4f} | "
+                      f"FM={m['fm_loss']:.4f}")
+        dt = time.time() - t0
+        if n_steps:
+            print(f"[Epoch {epoch:03d}] {n_steps} steps in {dt:.1f}s "
+                  f"({n_steps * cfg.batch_size * cfg.segment_seconds / dt:.1f}"
+                  " audio-sec/s)")
+
+        do_val = (epoch % max(cfg.val_interval, 1) == 0) or (
+            epoch == cfg.epochs)
+        val_metrics: Dict[str, float] = {}
+        improved = False
+        if do_val:
+            val_metrics = validate(eval_step, state.g_params, val_ds, cfg,
+                                   cfg.batch_size,
+                                   compute_pesq=compute_pesq,
+                                   compute_stoi=compute_stoi)
+            msg = (f"[Epoch {epoch:03d}] Val MR-STFT="
+                   f"{val_metrics['val_mrstft']:.4f} | "
+                   f"SI-SDR={val_metrics['val_si_sdr']:.3f}")
+            if math.isfinite(val_metrics["val_pesq"]):
+                msg += f" | PESQ={val_metrics['val_pesq']:.3f}"
+            if math.isfinite(val_metrics["val_stoi"]):
+                msg += f" | STOI={val_metrics['val_stoi']:.4f}"
+            print(msg)
+            if val_metrics["val_mrstft"] < best_val:
+                best_val = val_metrics["val_mrstft"]
+                best_epoch = epoch
+                improved = True
+
+        meta = {
+            "epoch": epoch,
+            "best_val": best_val,
+            "best_epoch": best_epoch,
+            "val_metrics": val_metrics,
+            "train_cfg": to_jsonable(cfg),
+        }
+        save_checkpoint(ckpt_dir, "last", state, meta)
+        if (epoch % max(cfg.ckpt_interval, 1) == 0) or (epoch == cfg.epochs):
+            save_checkpoint(ckpt_dir, f"epoch_{epoch:04d}", state, meta)
+        if do_val and improved:
+            save_checkpoint(ckpt_dir, "best", state, meta)
+            print(f"New best val MR-STFT: {best_val:.4f} @ epoch "
+                  f"{best_epoch} (saved best)")
+        if do_val:
+            append_csv_row(metrics_csv, {
+                "epoch": epoch,
+                **val_metrics,
+                "best_val_mrstft": best_val,
+                "best_epoch": best_epoch,
+            })
+
+    print("Training finished.")
+    return {"run_dir": run_dir, "best_val": best_val,
+            "best_epoch": best_epoch}

@@ -1,0 +1,109 @@
+"""Training configuration and GAN train state.
+
+Mirrors the reference's optimizer setup (train.py:601-610: two AdamW
+optimizers, G over enhancer params, D over MPD+MSD jointly, betas
+(0.8, 0.99), lr 2e-4) and flag surface (train.py:416-522).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from lct_gan_tpu.models import (
+    LCTGeneratorConfig,
+    LctEnhancer,
+    MultiPeriodDiscriminator,
+    MultiScaleDiscriminator,
+)
+
+__all__ = ["TrainConfig", "GanTrainState", "build_models", "create_state"]
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    """Hyperparameters (defaults = reference train.py:416-522)."""
+
+    sample_rate: int = 16000
+    segment_seconds: float = 2.0
+    batch_size: int = 8
+    epochs: int = 100
+    lr_g: float = 2e-4
+    lr_d: float = 2e-4
+    betas_g: Tuple[float, float] = (0.8, 0.99)
+    betas_d: Tuple[float, float] = (0.8, 0.99)
+    grad_clip: float = 5.0
+    lambda_mask: float = 1.0
+    lambda_adv: float = 1e-2
+    lambda_fm: float = 1.0
+    gan_loss: str = "ls"
+    compress_c: float = 0.3
+    max_time_context: Optional[int] = None
+    seed: int = 42
+    log_interval: int = 50
+    val_interval: int = 50
+    ckpt_interval: int = 50
+
+    @property
+    def segment_length(self) -> int:
+        return int(self.segment_seconds * self.sample_rate)
+
+
+class GanTrainState(struct.PyTreeNode):
+    """Complete on-device training state (both players + optimizers)."""
+
+    step: jax.Array
+    g_params: Any
+    mpd_params: Any
+    msd_params: Any
+    g_opt_state: Any
+    d_opt_state: Any
+
+
+def build_models(cfg: TrainConfig):
+    """Instantiate the three model defs (reference train.py:569-585)."""
+    gen_cfg = LCTGeneratorConfig(max_time_context=cfg.max_time_context)
+    enhancer = LctEnhancer(gen_cfg=gen_cfg, c=cfg.compress_c)
+    mpd = MultiPeriodDiscriminator()
+    msd = MultiScaleDiscriminator()
+    return enhancer, mpd, msd
+
+
+def make_optimizers(cfg: TrainConfig):
+    """AdamW pair; global-norm clip on G only (train.py:245-249, 601-610).
+    torch AdamW defaults: eps=1e-8, weight_decay=0.01."""
+    g_tx = optax.chain(
+        optax.clip_by_global_norm(cfg.grad_clip) if cfg.grad_clip > 0
+        else optax.identity(),
+        optax.adamw(cfg.lr_g, b1=cfg.betas_g[0], b2=cfg.betas_g[1],
+                    eps=1e-8, weight_decay=0.01),
+    )
+    d_tx = optax.adamw(cfg.lr_d, b1=cfg.betas_d[0], b2=cfg.betas_d[1],
+                       eps=1e-8, weight_decay=0.01)
+    return g_tx, d_tx
+
+
+def create_state(cfg: TrainConfig, rng: jax.Array) -> GanTrainState:
+    """Initialize parameters and optimizer states."""
+    enhancer, mpd, msd = build_models(cfg)
+    seg = cfg.segment_length
+    rng_g, rng_mpd, rng_msd = jax.random.split(rng, 3)
+    wave = jnp.zeros((1, seg), jnp.float32)
+    g_params = enhancer.init(rng_g, wave)["params"]
+    mpd_params = mpd.init(rng_mpd, wave)["params"]
+    msd_params = msd.init(rng_msd, wave)["params"]
+
+    g_tx, d_tx = make_optimizers(cfg)
+    return GanTrainState(
+        step=jnp.zeros((), jnp.int32),
+        g_params=g_params,
+        mpd_params=mpd_params,
+        msd_params=msd_params,
+        g_opt_state=g_tx.init(g_params),
+        d_opt_state=d_tx.init({"mpd": mpd_params, "msd": msd_params}),
+    )

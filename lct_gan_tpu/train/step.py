@@ -1,0 +1,174 @@
+"""The jitted GAN optimization step (D step then G step) and the jitted
+eval step.
+
+Replicates the reference's per-batch schedule (train.py:145-258):
+  1. IRM^c targets from the TF feature pipeline,
+  2. D step on stop_gradient'd enhancer output (torch.no_grad equivalent),
+  3. D update,
+  4. G step against the UPDATED discriminators: MR-STFT + lambda_mask *
+     mask-MSE + lambda_adv * (adv + lambda_fm * FM),
+  5. G update with global-norm clip.
+
+Everything -- both forwards/backwards, feature extraction, all 10+ STFTs --
+compiles into ONE XLA program. The noisy-signal STFT appears in both the
+feature pipeline and the enhancer; XLA CSEs the duplicate FFTs that the
+reference executes twice. Donated state gives in-place parameter updates.
+
+Data parallelism comes from sharding, not code: batches arrive sharded on
+the 'data' mesh axis, parameters are replicated, and XLA inserts gradient
+all-reduces automatically (see lct_gan_tpu/parallel/mesh.py).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from lct_gan_tpu.losses import (
+    discriminator_loss,
+    feature_matching_loss,
+    flatten_logits_lists,
+    generator_adv_loss,
+    mask_mse_loss,
+    mr_stft_loss,
+)
+from lct_gan_tpu.sigproc import TFFeaturesConfig, compute_tf_features
+from lct_gan_tpu.train.state import (
+    GanTrainState,
+    TrainConfig,
+    build_models,
+    make_optimizers,
+)
+
+__all__ = ["make_train_step", "make_eval_step", "align_tf_targets"]
+
+
+def align_tf_targets(irm_c: jax.Array,
+                     pred_mask_c: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """Crop IRM target and predicted mask to the minimum frame count
+    (reference: train.py:388-413). Static shapes -> trace-time slice."""
+    t = min(irm_c.shape[-1], pred_mask_c.shape[-1])
+    return irm_c[..., :t], pred_mask_c[..., :t]
+
+
+def make_train_step(cfg: TrainConfig):
+    """Build the fused D+G train step: (state, noisy, clean) ->
+    (state, metrics)."""
+    enhancer, mpd, msd = build_models(cfg)
+    g_tx, d_tx = make_optimizers(cfg)
+    tf_cfg = TFFeaturesConfig(n_fft=512, c=cfg.compress_c,
+                              compress_input=False, return_stfts=False)
+
+    def train_step(state: GanTrainState, noisy: jax.Array,
+                   clean: jax.Array) -> Tuple[GanTrainState, Dict[str, Any]]:
+        irm_c = compute_tf_features(noisy, clean, tf_cfg)["irm_c"]
+
+        # ---- Discriminator step (train.py:177-200) ----
+        fake_for_d, _ = enhancer.apply({"params": state.g_params}, noisy)
+        fake_for_d = jax.lax.stop_gradient(fake_for_d)
+
+        def d_loss_fn(d_params):
+            mpd_real, _ = mpd.apply({"params": d_params["mpd"]}, clean)
+            mpd_fake, _ = mpd.apply({"params": d_params["mpd"]}, fake_for_d)
+            msd_real, _ = msd.apply({"params": d_params["msd"]}, clean)
+            msd_fake, _ = msd.apply({"params": d_params["msd"]}, fake_for_d)
+            return discriminator_loss(
+                flatten_logits_lists(mpd_real, msd_real),
+                flatten_logits_lists(mpd_fake, msd_fake),
+                loss_type=cfg.gan_loss)
+
+        d_params = {"mpd": state.mpd_params, "msd": state.msd_params}
+        d_loss, d_grads = jax.value_and_grad(d_loss_fn)(d_params)
+        d_updates, d_opt_state = d_tx.update(d_grads, state.d_opt_state,
+                                             d_params)
+        d_params = jax.tree.map(lambda p, u: p + u, d_params, d_updates)
+
+        # ---- Generator step against updated D (train.py:204-249) ----
+        def g_loss_fn(g_params):
+            enhanced, mask_c = enhancer.apply({"params": g_params}, noisy)
+            mr_loss, _ = mr_stft_loss(enhanced, clean)
+
+            irm_a, pred_a = align_tf_targets(irm_c, mask_c[:, 0])
+            m_loss = mask_mse_loss(pred_a, irm_a)
+
+            mpd_fake, mpd_fake_fm = mpd.apply(
+                {"params": d_params["mpd"]}, enhanced)
+            msd_fake, msd_fake_fm = msd.apply(
+                {"params": d_params["msd"]}, enhanced)
+            _, mpd_real_fm = mpd.apply({"params": d_params["mpd"]}, clean)
+            _, msd_real_fm = msd.apply({"params": d_params["msd"]}, clean)
+            mpd_real_fm = jax.lax.stop_gradient(mpd_real_fm)
+            msd_real_fm = jax.lax.stop_gradient(msd_real_fm)
+
+            adv_loss = generator_adv_loss(
+                flatten_logits_lists(mpd_fake, msd_fake),
+                loss_type=cfg.gan_loss)
+            fm_loss = feature_matching_loss(mpd_real_fm + msd_real_fm,
+                                            mpd_fake_fm + msd_fake_fm)
+            adv_total = adv_loss + cfg.lambda_fm * fm_loss
+            g_loss = (mr_loss + cfg.lambda_mask * m_loss +
+                      cfg.lambda_adv * adv_total)
+            aux = {
+                "mr_loss": mr_loss,
+                "mask_loss": m_loss,
+                "adv_loss": adv_loss,
+                "fm_loss": fm_loss,
+            }
+            return g_loss, aux
+
+        (g_loss, aux), g_grads = jax.value_and_grad(
+            g_loss_fn, has_aux=True)(state.g_params)
+        g_updates, g_opt_state = g_tx.update(g_grads, state.g_opt_state,
+                                             state.g_params)
+        g_params = jax.tree.map(lambda p, u: p + u, state.g_params, g_updates)
+
+        new_state = GanTrainState(
+            step=state.step + 1,
+            g_params=g_params,
+            mpd_params=d_params["mpd"],
+            msd_params=d_params["msd"],
+            g_opt_state=g_opt_state,
+            d_opt_state=d_opt_state,
+        )
+        metrics = {"d_loss": d_loss, "g_loss": g_loss, **aux}
+        return new_state, metrics
+
+    return train_step
+
+
+def make_eval_step(cfg: TrainConfig):
+    """Build the jitted eval step: (g_params, noisy, clean, lengths) ->
+    (enhanced, {mrstft, si_sdr_sum}) with length-masked SI-SDR
+    (reference: train.py:285-385 computes these per utterance on device)."""
+    enhancer, _, _ = build_models(cfg)
+
+    def eval_step(g_params, noisy, clean, lengths):
+        enhanced, _ = enhancer.apply({"params": g_params}, noisy)
+        mr, _ = mr_stft_loss(enhanced, clean)
+        si = _masked_si_sdr(clean, enhanced, lengths)
+        return enhanced, {"mrstft": mr, "si_sdr": si}
+
+    return eval_step
+
+
+def _masked_si_sdr(reference: jax.Array, estimate: jax.Array,
+                   lengths: jax.Array, eps: float = 1e-8) -> jax.Array:
+    """Per-utterance SI-SDR over zero-padded batches
+    (reference formula: train.py:261-282). Returns [B]."""
+    B, T = reference.shape
+    mask = (jnp.arange(T)[None, :] < lengths[:, None]).astype(jnp.float32)
+    n = jnp.maximum(lengths.astype(jnp.float32), 1.0)
+    ref = (reference - jnp.sum(reference * mask, -1, keepdims=True) /
+           n[:, None]) * mask
+    est = (estimate - jnp.sum(estimate * mask, -1, keepdims=True) /
+           n[:, None]) * mask
+    ref_energy = jnp.sum(ref * ref, -1) + eps
+    scale = jnp.sum(ref * est, -1) / ref_energy
+    s_target = scale[:, None] * ref
+    e_noise = est - s_target
+    return 10.0 * jnp.log10(
+        (jnp.sum(s_target * s_target, -1) + eps) /
+        (jnp.sum(e_noise * e_noise, -1) + eps))

@@ -1,0 +1,15 @@
+from lct_gan_tpu.utils.config import (
+    append_csv_row,
+    ensure_dir,
+    now_timestamp,
+    to_jsonable,
+    write_json,
+)
+
+__all__ = [
+    "append_csv_row",
+    "ensure_dir",
+    "now_timestamp",
+    "to_jsonable",
+    "write_json",
+]

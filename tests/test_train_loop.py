@@ -1,0 +1,90 @@
+"""End-to-end training-loop smoke tests on a synthetic dataset:
+run -> validate -> checkpoint -> resume, on the 8-device CPU mesh.
+
+Shapes match tests/test_train_step.py so the persistent compile cache is
+shared.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+
+from lct_gan_tpu.data import write_wav
+from lct_gan_tpu.train import (
+    DataConfig,
+    TrainConfig,
+    create_state,
+    restore_checkpoint,
+    run_training,
+    save_checkpoint,
+)
+
+CFG = TrainConfig(
+    segment_seconds=0.25,
+    batch_size=8,
+    epochs=1,
+    val_interval=1,
+    ckpt_interval=1,
+    log_interval=1,
+)
+
+
+def _make_tree(root: str, n_train=8, n_test=2, sr=16000):
+    rng = np.random.default_rng(0)
+    for sub in ("clean_train", "noisy_train", "clean_test", "noisy_test"):
+        os.makedirs(os.path.join(root, sub), exist_ok=True)
+    for split, n in (("train", n_train), ("test", n_test)):
+        ids = []
+        for i in range(n):
+            uid = f"{split}{i:03d}"
+            ids.append(uid)
+            T = int(sr * 0.3) + i * 100
+            clean = (rng.standard_normal(T) * 0.1).astype(np.float32)
+            noise = (rng.standard_normal(T) * 0.05).astype(np.float32)
+            write_wav(os.path.join(root, f"clean_{split}", f"{uid}.wav"),
+                      clean, sr)
+            write_wav(os.path.join(root, f"noisy_{split}", f"{uid}.wav"),
+                      clean + noise, sr)
+        with open(os.path.join(root, f"{split}.scp"), "w") as f:
+            f.write("\n".join(ids) + "\n")
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    state = create_state(CFG, jax.random.PRNGKey(0))
+    meta = {"epoch": 3, "best_val": 1.25, "best_epoch": 2}
+    path = save_checkpoint(str(tmp_path / "ckpts"), "last", state, meta)
+    restored, meta2 = restore_checkpoint(path, CFG)
+    assert meta2["epoch"] == 3 and meta2["best_val"] == 1.25
+    for a, b in zip(jax.tree.leaves(state), jax.tree.leaves(restored)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+@pytest.mark.slow
+def test_run_training_and_resume(tmp_path):
+    root = str(tmp_path / "data")
+    os.makedirs(root)
+    _make_tree(root)
+    data = DataConfig(data_root=root, num_prefetch=2)
+    expr = str(tmp_path / "exprs")
+
+    out = run_training(CFG, data, expr_root=expr, compute_pesq=False,
+                       compute_stoi=False)
+    run_dir = out["run_dir"]
+    assert os.path.isdir(os.path.join(run_dir, "ckpts", "last"))
+    assert os.path.isdir(os.path.join(run_dir, "ckpts", "best"))
+    assert os.path.isdir(os.path.join(run_dir, "ckpts", "epoch_0001"))
+    assert os.path.isfile(os.path.join(run_dir, "configs.json"))
+    assert os.path.isfile(os.path.join(run_dir, "metrics.csv"))
+    assert np.isfinite(out["best_val"])
+
+    # Resume for one more epoch.
+    cfg2 = TrainConfig(**{**CFG.__dict__, "epochs": 2})
+    out2 = run_training(
+        cfg2, data, expr_root=expr,
+        resume=os.path.join(run_dir, "ckpts", "last"),
+        compute_pesq=False, compute_stoi=False)
+    assert out2["run_dir"] == run_dir
+    assert os.path.isdir(os.path.join(run_dir, "ckpts", "epoch_0002"))
