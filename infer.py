@@ -32,19 +32,6 @@ def parse_args():
     return parser.parse_args()
 
 
-def load_generator_params(checkpoint: str, cfg):
-    """Checkpoint -> generator params. Accepts our Orbax dirs and reference
-    .pt files (infer.py:98-128 equivalent)."""
-    from lct_gan_tpu.train import restore_checkpoint
-    from lct_gan_tpu.train.checkpoint import state_from_torch_checkpoint
-
-    if os.path.isdir(checkpoint):
-        state, _ = restore_checkpoint(checkpoint, cfg)
-        return state.g_params
-    state = state_from_torch_checkpoint(checkpoint, cfg)
-    return state.g_params
-
-
 def main():
     args = parse_args()
 
@@ -58,6 +45,7 @@ def main():
         write_wav,
     )
     from lct_gan_tpu.train import TrainConfig, build_models
+    from lct_gan_tpu.train.checkpoint import load_generator_params
 
     cfg = TrainConfig(sample_rate=args.sample_rate,
                       compress_c=args.compress_c)

@@ -29,6 +29,7 @@ __all__ = [
     "restore_checkpoint",
     "latest_checkpoint",
     "state_from_torch_checkpoint",
+    "load_generator_params",
 ]
 
 _META = "meta.json"
@@ -77,6 +78,24 @@ def restore_checkpoint(path: str, cfg: TrainConfig
 def latest_checkpoint(ckpt_dir: str) -> Optional[str]:
     p = os.path.join(ckpt_dir, "last")
     return p if os.path.isdir(p) else None
+
+
+def load_generator_params(checkpoint: str, cfg: TrainConfig):
+    """Checkpoint -> generator params. Accepts our Orbax checkpoint dirs
+    and reference PyTorch .pt files (infer.py:98-128 equivalent). For .pt
+    files only the 'enhancer' entry is needed (discriminators are
+    training-only)."""
+    if os.path.isdir(checkpoint):
+        state, _ = restore_checkpoint(checkpoint, cfg)
+        return state.g_params
+    from lct_gan_tpu.convert.torch_import import (
+        convert_enhancer,
+        load_torch_state_dict,
+    )
+
+    return jax.tree.map(
+        lambda x: np.asarray(x, dtype=np.float32),
+        convert_enhancer(load_torch_state_dict(checkpoint, "enhancer")))
 
 
 def state_from_torch_checkpoint(path: str, cfg: TrainConfig,

@@ -1,0 +1,72 @@
+"""Banded-causal time attention properties (the honest implementation of
+the reference's dead max_time_context flag, SURVEY.md §2.10)."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from lct_gan_tpu.models import MultiHeadSelfAttention, banded_causal_mask
+
+
+def test_mask_shape_and_band():
+    m = np.asarray(banded_causal_mask(6, 2))
+    assert m.shape == (6, 6)
+    # Row t attends to [t-2, t]
+    expected = np.zeros((6, 6), dtype=bool)
+    for t in range(6):
+        for k in range(max(0, t - 2), t + 1):
+            expected[t, k] = True
+    np.testing.assert_array_equal(m, expected)
+
+
+def test_banded_attention_ignores_out_of_window_past():
+    """Changing a frame beyond the lookback window must not change the
+    output at the query position."""
+    E, S, W = 64, 12, 3
+    mod = MultiHeadSelfAttention(embed_dim=E, num_heads=4)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((1, S, E)).astype(np.float32))
+    params = mod.init(jax.random.PRNGKey(0), x)["params"]
+    mask = banded_causal_mask(S, W)
+
+    y1 = mod.apply({"params": params}, x, mask=mask)
+    # Perturb frame 0; query at t=8 (0 < 8-3) must be unaffected.
+    x2 = x.at[0, 0].add(10.0)
+    y2 = mod.apply({"params": params}, x2, mask=mask)
+    np.testing.assert_allclose(np.asarray(y1[0, 8]), np.asarray(y2[0, 8]),
+                               rtol=1e-5, atol=1e-6)
+    # ...but the output at t=0 itself changes.
+    assert np.max(np.abs(np.asarray(y1[0, 0] - y2[0, 0]))) > 1e-3
+
+
+def test_banded_attention_is_causal():
+    """Future frames must not influence the present."""
+    E, S, W = 64, 10, 4
+    mod = MultiHeadSelfAttention(embed_dim=E, num_heads=4)
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.standard_normal((1, S, E)).astype(np.float32))
+    params = mod.init(jax.random.PRNGKey(0), x)["params"]
+    mask = banded_causal_mask(S, W)
+
+    y1 = mod.apply({"params": params}, x, mask=mask)
+    x2 = x.at[0, 9].add(5.0)
+    y2 = mod.apply({"params": params}, x2, mask=mask)
+    np.testing.assert_allclose(np.asarray(y1[0, :9]), np.asarray(y2[0, :9]),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_generator_accepts_max_time_context():
+    from lct_gan_tpu.models import LCTGeneratorConfig, LctGenerator
+
+    cfg = LCTGeneratorConfig(max_time_context=8)
+    gen = LctGenerator(cfg)
+    x = jnp.zeros((1, 1, 257, 12), jnp.float32)
+    params = gen.init(jax.random.PRNGKey(0), x)["params"]
+    out = gen.apply({"params": params}, x)
+    assert out.shape == (1, 1, 257, 12)
+    # Same param tree as the unmasked model -> checkpoints interchangeable.
+    cfg2 = LCTGeneratorConfig()
+    params2 = LctGenerator(cfg2).init(jax.random.PRNGKey(0), x)["params"]
+    assert (jax.tree_util.tree_structure(params) ==
+            jax.tree_util.tree_structure(params2))

@@ -1,0 +1,74 @@
+"""Experiment-harness test: ModelComparator runs our system and the torch
+reference side by side on one file and produces all artifacts
+(the reference did this manually in notebooks, SURVEY.md §2.10)."""
+
+import math
+import os
+
+import numpy as np
+import pytest
+import torch
+
+from tests._reference import import_reference, reference_available
+
+from lct_gan_tpu.data import write_wav
+from lct_gan_tpu.eval import ModelComparator, plot_spec
+
+pytestmark = pytest.mark.skipif(
+    not reference_available(), reason="reference repo not mounted")
+
+
+def test_plot_spec(tmp_path):
+    rng = np.random.default_rng(0)
+    x = (rng.standard_normal(8000) * 0.1).astype(np.float32)
+    p = str(tmp_path / "spec.png")
+    plot_spec(x, 16000, "test", p)
+    assert os.path.getsize(p) > 5000
+
+
+def test_comparator_parity_artifacts(tmp_path):
+    _, gen_mod, _, _ = import_reference()
+    torch.manual_seed(0)
+    torch_enh = gen_mod.LCTEnhancer(
+        gen_cfg=gen_mod.LCTGeneratorConfig(), c=0.3).eval()
+    ckpt_path = str(tmp_path / "ref.pt")
+    torch.save({"enhancer": torch_enh.state_dict()}, ckpt_path)
+
+    from lct_gan_tpu.eval import make_jax_system, make_torch_reference_system
+
+    systems = {
+        "ours": make_jax_system(ckpt_path),
+        "reference": make_torch_reference_system(ckpt_path),
+    }
+
+    sr = 16000
+    rng = np.random.default_rng(1)
+    t = np.arange(sr // 2) / sr
+    clean = (0.2 * np.sin(2 * np.pi * 440 * t) *
+             (0.55 + 0.45 * np.sin(2 * np.pi * 4 * t))).astype(np.float32)
+    noisy = clean + (0.05 * rng.standard_normal(len(t))).astype(np.float32)
+    noisy_p = str(tmp_path / "noisy_in.wav")
+    clean_p = str(tmp_path / "clean_in.wav")
+    write_wav(noisy_p, noisy, sr)
+    write_wav(clean_p, clean, sr)
+
+    comp = ModelComparator(systems)
+    result = comp.process_one_file(noisy_p, str(tmp_path / "out"),
+                                   clean_path=clean_p)
+
+    for name in ("ours", "reference"):
+        assert os.path.exists(result[name]["dir"])
+        assert os.path.exists(result[name]["diff_dir"])
+        assert os.path.exists(result[name]["diff_norm_dir"])
+        assert math.isfinite(result[name]["si_sdr"])
+    assert os.path.exists(
+        str(tmp_path / "out" / "spectrograms" / "all.png"))
+
+    # The two systems are the SAME weights -> near-identical metrics.
+    assert abs(result["ours"]["si_sdr"] - result["reference"]["si_sdr"]) < 0.2
+
+    from lct_gan_tpu.data.audio_io import load_mono_wave
+
+    ours, _ = load_mono_wave(result["ours"]["dir"])
+    ref, _ = load_mono_wave(result["reference"]["dir"])
+    np.testing.assert_allclose(ours, ref, atol=2e-3)
