@@ -36,7 +36,9 @@ def main():
     import jax.numpy as jnp
 
     from lct_gan_tpu.train import TrainConfig, build_models
+    from lct_gan_tpu.utils import enable_compile_cache
 
+    enable_compile_cache()
     dev = jax.devices()[0]
     log(f"bench device: {dev} ({jax.default_backend()})")
 

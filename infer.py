@@ -46,7 +46,9 @@ def main():
     )
     from lct_gan_tpu.train import TrainConfig, build_models
     from lct_gan_tpu.train.checkpoint import load_generator_params
+    from lct_gan_tpu.utils import enable_compile_cache
 
+    enable_compile_cache()
     cfg = TrainConfig(sample_rate=args.sample_rate,
                       compress_c=args.compress_c)
     g_params = load_generator_params(args.checkpoint, cfg)

@@ -39,13 +39,41 @@ Tree = Dict[str, Any]
 
 def load_torch_state_dict(path: str, key: str) -> Dict[str, Array]:
     """Load one state_dict (e.g. 'enhancer', 'mpd', 'msd') from a reference
-    checkpoint file into numpy."""
-    import torch
+    checkpoint file into numpy.
 
-    ckpt = torch.load(path, map_location="cpu", weights_only=False)
-    sd = ckpt[key] if key in ckpt else ckpt
-    return {k: v.detach().cpu().numpy() for k, v in sd.items()
-            if hasattr(v, "detach")}
+    Runs torch.load in a SUBPROCESS: importing torch into a process that
+    talks to a tunneled TPU backend deadlocks device-to-host transfers
+    (observed on the axon platform), and a serving process should not
+    carry torch anyway. Set LCT_TORCH_INPROC=1 to load in-process (fine on
+    CPU backends, e.g. under the test suite)."""
+    import os
+
+    if os.environ.get("LCT_TORCH_INPROC"):
+        import torch
+
+        ckpt = torch.load(path, map_location="cpu", weights_only=False)
+        sd = ckpt[key] if key in ckpt else ckpt
+        return {k: v.detach().cpu().numpy() for k, v in sd.items()
+                if hasattr(v, "detach")}
+
+    import subprocess
+    import sys
+    import tempfile
+
+    script = (
+        "import sys, numpy as np, torch\n"
+        "path, key, out = sys.argv[1], sys.argv[2], sys.argv[3]\n"
+        "ckpt = torch.load(path, map_location='cpu', weights_only=False)\n"
+        "sd = ckpt[key] if key in ckpt else ckpt\n"
+        "arrs = {k: v.detach().cpu().numpy() for k, v in sd.items()\n"
+        "        if hasattr(v, 'detach')}\n"
+        "np.savez(out, **arrs)\n")
+    with tempfile.TemporaryDirectory() as td:
+        out = os.path.join(td, "sd.npz")
+        subprocess.run([sys.executable, "-c", script, path, key, out],
+                       check=True, capture_output=True, timeout=600)
+        with np.load(out) as z:
+            return {k: np.array(z[k]) for k in z.files}
 
 
 def _np(sd: Mapping[str, Any], key: str) -> Array:

@@ -89,21 +89,29 @@ def make_optimizers(cfg: TrainConfig):
 
 
 def create_state(cfg: TrainConfig, rng: jax.Array) -> GanTrainState:
-    """Initialize parameters and optimizer states."""
-    enhancer, mpd, msd = build_models(cfg)
-    seg = cfg.segment_length
-    rng_g, rng_mpd, rng_msd = jax.random.split(rng, 3)
-    wave = jnp.zeros((1, seg), jnp.float32)
-    g_params = enhancer.init(rng_g, wave)["params"]
-    mpd_params = mpd.init(rng_mpd, wave)["params"]
-    msd_params = msd.init(rng_msd, wave)["params"]
+    """Initialize parameters and optimizer states.
 
+    The whole init is jitted into ONE XLA program: Flax init is otherwise
+    eager op-by-op dispatch, which over a tunneled TPU backend means one
+    RPC round-trip per op (minutes for the 17.8M-param discriminator
+    stack)."""
+    enhancer, mpd, msd = build_models(cfg)
     g_tx, d_tx = make_optimizers(cfg)
-    return GanTrainState(
-        step=jnp.zeros((), jnp.int32),
-        g_params=g_params,
-        mpd_params=mpd_params,
-        msd_params=msd_params,
-        g_opt_state=g_tx.init(g_params),
-        d_opt_state=d_tx.init({"mpd": mpd_params, "msd": msd_params}),
-    )
+    seg = cfg.segment_length
+
+    def init(rng):
+        rng_g, rng_mpd, rng_msd = jax.random.split(rng, 3)
+        wave = jnp.zeros((1, seg), jnp.float32)
+        g_params = enhancer.init(rng_g, wave)["params"]
+        mpd_params = mpd.init(rng_mpd, wave)["params"]
+        msd_params = msd.init(rng_msd, wave)["params"]
+        return GanTrainState(
+            step=jnp.zeros((), jnp.int32),
+            g_params=g_params,
+            mpd_params=mpd_params,
+            msd_params=msd_params,
+            g_opt_state=g_tx.init(g_params),
+            d_opt_state=d_tx.init({"mpd": mpd_params, "msd": msd_params}),
+        )
+
+    return jax.jit(init)(rng)

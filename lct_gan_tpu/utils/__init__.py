@@ -1,3 +1,4 @@
+from lct_gan_tpu.utils.cache import enable_compile_cache
 from lct_gan_tpu.utils.config import (
     append_csv_row,
     ensure_dir,
@@ -8,6 +9,7 @@ from lct_gan_tpu.utils.config import (
 
 __all__ = [
     "append_csv_row",
+    "enable_compile_cache",
     "ensure_dir",
     "now_timestamp",
     "to_jsonable",

@@ -15,6 +15,10 @@ if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
 
+# Tests run on the CPU backend where torch coexists with jax; skip the
+# subprocess isolation used for tunneled-TPU serving (see torch_import).
+os.environ.setdefault("LCT_TORCH_INPROC", "1")
+
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", platform)

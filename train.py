@@ -76,6 +76,9 @@ def main():
 
     from lct_gan_tpu.parallel import make_mesh
     from lct_gan_tpu.train import DataConfig, TrainConfig, run_training
+    from lct_gan_tpu.utils import enable_compile_cache
+
+    enable_compile_cache()
 
     cfg = TrainConfig(
         sample_rate=args.sample_rate,
