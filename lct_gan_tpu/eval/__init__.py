@@ -4,9 +4,11 @@ from lct_gan_tpu.eval.compare import (
     make_torch_reference_system,
     plot_spec,
     plot_specs_stack,
+    plot_specs_triptych,
 )
 
 __all__ = [
+    "plot_specs_triptych",
     "ModelComparator",
     "make_jax_system",
     "make_torch_reference_system",

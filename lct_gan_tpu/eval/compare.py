@@ -27,6 +27,7 @@ __all__ = [
     "ModelComparator",
     "plot_spec",
     "plot_specs_stack",
+    "plot_specs_triptych",
     "make_jax_system",
     "make_torch_reference_system",
 ]
@@ -95,6 +96,23 @@ def plot_specs_stack(panels: Sequence[Tuple[str, np.ndarray]],
         os.makedirs(os.path.dirname(save_path) or ".", exist_ok=True)
         fig.savefig(save_path, dpi=dpi, bbox_inches="tight")
     plt.close(fig)
+
+
+def plot_specs_triptych(noisy, ftf=None, dfn=None, clean=None, my_ftf=None,
+                        sr: int = 16000, save_path: Optional[str] = None,
+                        dpi: int = 150) -> None:
+    """Clean/noisy/systems comparison stack (reference: util.py:138-166)."""
+    panels: List[Tuple[str, np.ndarray]] = []
+    if clean is not None:
+        panels.append(("Clean (16 kHz)", clean))
+    panels.append(("Noisy (16 kHz)", noisy))
+    if ftf is not None:
+        panels.append(("LCT-GAN", ftf))
+    if my_ftf is not None:
+        panels.append(("FTFNet", my_ftf))
+    if dfn is not None:
+        panels.append(("DeepFilterNet (48 to 16 kHz)", dfn))
+    plot_specs_stack(panels, sr=sr, save_path=save_path, dpi=dpi)
 
 
 def make_jax_system(checkpoint: str, compress_c: float = 0.3) -> System:

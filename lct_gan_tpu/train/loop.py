@@ -136,7 +136,8 @@ def run_training(cfg: TrainConfig,
                  resume: Optional[str] = None,
                  mesh=None,
                  compute_pesq: bool = True,
-                 compute_stoi: bool = True) -> Dict[str, Any]:
+                 compute_stoi: bool = True,
+                 profile_steps: int = 0) -> Dict[str, Any]:
     """Train LCT-GAN end to end. Returns summary info (run_dir, best)."""
     if mesh is None:
         mesh = make_mesh()
@@ -219,8 +220,19 @@ def run_training(cfg: TrainConfig,
             depth=data.num_prefetch, sharding=bsh)
         n_steps = 0
         for step_idx, batch in enumerate(it, 1):
+            # Optional device trace of steps 3..3+profile_steps of epoch 1
+            # (skips the compile step) -> <run_dir>/profile/, viewable in
+            # XProf/TensorBoard. The reference has no tracing (SURVEY §5.1).
+            if (profile_steps and epoch == start_epoch and step_idx == 3):
+                jax.profiler.start_trace(os.path.join(run_dir, "profile"))
             state, metrics = train_step(state, batch["noisy"],
                                         batch["clean"])
+            if (profile_steps and epoch == start_epoch
+                    and step_idx == 3 + profile_steps):
+                jax.tree.map(
+                    lambda x: x.block_until_ready(), metrics)
+                jax.profiler.stop_trace()
+                print(f"Saved device trace to {run_dir}/profile")
             n_steps += 1
             if step_idx % cfg.log_interval == 0:
                 m = {k: float(v) for k, v in metrics.items()}

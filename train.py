@@ -61,6 +61,9 @@ def parse_args():
     parser.add_argument("--no_pesq", action="store_true",
                         help="Skip PESQ during validation (package gated).")
     parser.add_argument("--no_stoi", action="store_true")
+    parser.add_argument("--profile_steps", type=int, default=0,
+                        help="Capture a jax.profiler device trace of this "
+                             "many steps into <run_dir>/profile/.")
 
     # TPU parallelism
     parser.add_argument("--data_parallel", type=int, default=None,
@@ -110,7 +113,8 @@ def main():
     mesh = make_mesh(data_parallel=args.data_parallel)
     run_training(cfg, data, expr_root=args.expr_root, resume=args.resume,
                  mesh=mesh, compute_pesq=not args.no_pesq,
-                 compute_stoi=not args.no_stoi)
+                 compute_stoi=not args.no_stoi,
+                 profile_steps=args.profile_steps)
 
 
 if __name__ == "__main__":
