@@ -32,22 +32,42 @@ def banded_causal_mask(length: int, lookback: int) -> jax.Array:
     return (k <= q) & (k >= q - lookback)
 
 
+def _pallas_ok() -> bool:
+    import os
+
+    if os.environ.get("LCT_NO_PALLAS"):
+        return False
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
+
+
 class MultiHeadSelfAttention(nn.Module):
     """Self-attention matching torch.nn.MultiheadAttention numerics.
 
     Parameters mirror torch's packed layout (so the PyTorch converter is a
     transpose): `in_proj` kernel [E, 3E], bias [3E]; `out_proj` kernel
     [E, E], bias [E]. Softmax and scaling (1/sqrt(head_dim)) follow torch.
+
+    On TPU backends the forward dispatches to the fused Pallas kernel
+    (lct_gan_tpu/ops/attention.py) -- same math, one VMEM-resident pass.
+    `use_pallas=None` auto-detects; the jnp path remains the reference
+    implementation and serves CPU/GPU. An arbitrary `mask` forces the jnp
+    path; `lookback` (banded-causal) is supported by both.
     """
 
     embed_dim: int = 64
     num_heads: int = 4
+    use_pallas: Optional[bool] = None
 
     @nn.compact
     def __call__(self,
                  x: jax.Array,
-                 mask: Optional[jax.Array] = None) -> jax.Array:
-        """x: [B, S, E]; mask: optional [S, S] bool (True = attend)."""
+                 mask: Optional[jax.Array] = None,
+                 lookback: Optional[int] = None) -> jax.Array:
+        """x: [B, S, E]; mask: optional [S, S] bool (True = attend);
+        lookback: optional banded-causal window (overrides mask)."""
         B, S, E = x.shape
         if E != self.embed_dim:
             raise ValueError(f"Expected embed dim {self.embed_dim}, got {E}")
@@ -62,6 +82,18 @@ class MultiHeadSelfAttention(nn.Module):
         out_kernel = self.param("out_proj_kernel",
                                 nn.initializers.xavier_uniform(), (E, E))
         out_bias = self.param("out_proj_bias", nn.initializers.zeros, (E,))
+
+        use_pallas = self.use_pallas
+        if use_pallas is None:
+            use_pallas = _pallas_ok()
+        if use_pallas and mask is None:
+            from lct_gan_tpu.ops.attention import fused_mhsa
+
+            return fused_mhsa(x, in_kernel, in_bias, out_kernel, out_bias,
+                              num_heads=nh, lookback=lookback)
+
+        if mask is None and lookback is not None:
+            mask = banded_causal_mask(S, lookback)
 
         qkv = jnp.einsum("bse,ef->bsf", x, in_kernel,
                          preferred_element_type=jnp.float32) + in_bias

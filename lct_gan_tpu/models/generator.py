@@ -26,7 +26,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from lct_gan_tpu.models.attention import MultiHeadSelfAttention, banded_causal_mask
+from lct_gan_tpu.models.attention import MultiHeadSelfAttention
 from lct_gan_tpu.models.gru import GroupedGRU
 from lct_gan_tpu.sigproc import (
     STFTConfig,
@@ -175,12 +175,9 @@ class TimeGRUBlock(nn.Module):
         seq = seq + seq_gru
 
         seq_norm2 = nn.LayerNorm(name="layernorm2")(seq)
-        mask = None
-        if self.max_time_context is not None:
-            mask = banded_causal_mask(T, self.max_time_context)
         attn_out = MultiHeadSelfAttention(
             embed_dim=C, num_heads=self.num_heads, name="attn")(
-                seq_norm2, mask=mask)
+                seq_norm2, lookback=self.max_time_context)
 
         combined = nn.Dense(C, name="lin")(attn_out)
         combined = _leaky(combined)

@@ -1,0 +1,167 @@
+"""Pallas TPU kernel: fused multi-head self-attention for MANY TINY
+sequences.
+
+The FTF bottleneck runs attention over thousands of short sequences
+(frequency axis: B*T seqs of length ~33; time axis: B*F seqs of length
+~129; embed 64, 4 heads of 16). At these shapes the XLA path is
+memory-bound: qkv, per-head scores, softmax and context each round-trip
+HBM, and the batched 33x16x33 GEMMs leave the MXU mostly idle (measured
+~17 ms for the freq attention at batch 128 -- ~1.6 TFLOP/s).
+
+This kernel packs BLOCK_SEQS sequences into one tile and fuses the whole
+attention into a single VMEM-resident pass:
+
+  qkv projection -> per-head block-diagonal scores -> masked softmax ->
+  context -> output projection
+
+The scores matrix for the packed tile is computed as ONE [R, R] GEMM per
+head (R = BLOCK_SEQS * L) and masked block-diagonally so sequences don't
+attend across each other; the redundant off-block FLOPs are trivia
+compared to the HBM traffic they eliminate. Matmuls run in bf16 with f32
+accumulation.
+
+Supports the banded-causal time mask (max_time_context) natively: the
+band condition composes with the block-diagonal mask.
+
+Parameter layout matches models/attention.py (torch packed in_proj), so
+the kernel is a drop-in numerical replacement for the jnp path.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["fused_mhsa", "pick_block_seqs"]
+
+
+def pick_block_seqs(length: int) -> int:
+    """Sequences per tile: keep R = block_seqs * length (and the [R, R]
+    scores scratch) VMEM-friendly."""
+    if length <= 160:
+        return 8
+    if length <= 512:
+        return 2
+    return 1
+
+
+def _mhsa_kernel(x_ref, in_w_ref, in_b_ref, out_w_ref, out_b_ref, o_ref,
+                 p_scratch, *, num_heads: int, length: int,
+                 block_seqs: int, lookback: Optional[int]):
+    S, L, E = x_ref.shape
+    R = S * L
+    hd = E // num_heads
+
+    x = x_ref[...].reshape(R, E)
+    in_w = in_w_ref[...]
+    out_w = out_w_ref[...]
+
+    qkv = jnp.dot(x.astype(jnp.bfloat16), in_w.astype(jnp.bfloat16),
+                  preferred_element_type=jnp.float32) + in_b_ref[...]
+
+    # Optional banded-causal mask WITHIN a sequence ([L, L], small).
+    band = None
+    if lookback is not None:
+        qpos = jax.lax.broadcasted_iota(jnp.int32, (L, L), 0)
+        kpos = jax.lax.broadcasted_iota(jnp.int32, (L, L), 1)
+        band = (kpos <= qpos) & (kpos >= qpos - lookback)
+
+    scale = 1.0 / float(np.sqrt(hd))
+    outs = []
+    for h in range(num_heads):
+        q = qkv[:, h * hd:(h + 1) * hd]
+        k = qkv[:, E + h * hd:E + (h + 1) * hd]
+        v = qkv[:, 2 * E + h * hd:2 * E + (h + 1) * hd]
+        # One big MXU GEMM for all packed sequences' scores...
+        s = jnp.dot(q.astype(jnp.bfloat16),
+                    k.astype(jnp.bfloat16).T,
+                    preferred_element_type=jnp.float32) * scale
+        # ...but softmax only on the valid diagonal [L, L] blocks (the
+        # off-block exp/max/sum would be block_seqs x redundant VPU work).
+        # Probabilities land in a zeroed [R, R] scratch, so the context
+        # GEMM is again one big MXU op (off-blocks contribute zero).
+        p_scratch[...] = jnp.zeros((R, R), jnp.float32)
+        for si in range(S):
+            lo = si * L
+            blk = s[lo:lo + L, lo:lo + L]
+            if band is not None:
+                blk = jnp.where(band, blk, -1e30)
+            blk = blk - jnp.max(blk, axis=-1, keepdims=True)
+            pb = jnp.exp(blk)
+            pb = pb / jnp.sum(pb, axis=-1, keepdims=True)
+            p_scratch[lo:lo + L, lo:lo + L] = pb
+        outs.append(jnp.dot(p_scratch[...].astype(jnp.bfloat16),
+                            v.astype(jnp.bfloat16),
+                            preferred_element_type=jnp.float32))
+    ctx = jnp.concatenate(outs, axis=-1)  # [R, E]
+    out = jnp.dot(ctx.astype(jnp.bfloat16), out_w.astype(jnp.bfloat16),
+                  preferred_element_type=jnp.float32) + out_b_ref[...]
+    o_ref[...] = out.reshape(S, L, E).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("num_heads", "lookback", "block_seqs", "interpret"))
+def fused_mhsa(x: jax.Array,
+               in_proj_kernel: jax.Array,
+               in_proj_bias: jax.Array,
+               out_proj_kernel: jax.Array,
+               out_proj_bias: jax.Array,
+               *,
+               num_heads: int = 4,
+               lookback: Optional[int] = None,
+               block_seqs: Optional[int] = None,
+               interpret: bool = False) -> jax.Array:
+    """Fused MHSA over x [N, L, E]. Returns [N, L, E] (f32).
+
+    in_proj_kernel [E, 3E] / out_proj_kernel [E, E] in the same layout as
+    models/attention.py.
+    """
+    N, L, E = x.shape
+    if block_seqs is None:
+        block_seqs = pick_block_seqs(L)
+    pad = (-N) % block_seqs
+    if pad:
+        x = jnp.pad(x, ((0, pad), (0, 0), (0, 0)))
+    n_tiles = (N + pad) // block_seqs
+
+    kernel = functools.partial(
+        _mhsa_kernel, num_heads=num_heads, length=L,
+        block_seqs=block_seqs, lookback=lookback)
+
+    R = block_seqs * L
+    flops_tile = (2 * R * E * 3 * E + num_heads * 2 * R * R * (E // 4) * 2
+                  + 2 * R * E * E)
+    out = pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((block_seqs, L, E), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((E, 3 * E), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3 * E,), lambda i: (0,),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((E, E), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((E,), lambda i: (0,), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((block_seqs, L, E), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((N + pad, L, E), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((R, R), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=flops_tile * n_tiles,
+            bytes_accessed=2 * (N + pad) * L * E * 4,
+            transcendentals=n_tiles * num_heads * R * R,
+        ),
+        interpret=interpret,
+    )(x.astype(jnp.float32), in_proj_kernel, in_proj_bias,
+      out_proj_kernel, out_proj_bias)
+    return out[:N] if pad else out

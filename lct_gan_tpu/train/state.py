@@ -43,6 +43,8 @@ class TrainConfig:
     lambda_fm: float = 1.0
     gan_loss: str = "ls"
     compress_c: float = 0.3
+    num_heads: int = 4
+    gru_groups: int = 4
     max_time_context: Optional[int] = None
     seed: int = 42
     log_interval: int = 50
@@ -66,8 +68,13 @@ class GanTrainState(struct.PyTreeNode):
 
 
 def build_models(cfg: TrainConfig):
-    """Instantiate the three model defs (reference train.py:569-585)."""
-    gen_cfg = LCTGeneratorConfig(max_time_context=cfg.max_time_context)
+    """Instantiate the three model defs (reference train.py:569-585).
+
+    Unlike the reference -- where num_heads/gru_groups are plumbed through
+    the CLI but never read (SURVEY.md §2.4) -- these are honored here."""
+    gen_cfg = LCTGeneratorConfig(num_heads=cfg.num_heads,
+                                 gru_groups=cfg.gru_groups,
+                                 max_time_context=cfg.max_time_context)
     enhancer = LctEnhancer(gen_cfg=gen_cfg, c=cfg.compress_c)
     mpd = MultiPeriodDiscriminator()
     msd = MultiScaleDiscriminator()

@@ -48,6 +48,8 @@ def parse_args():
 
     # Model / STFT
     parser.add_argument("--compress_c", type=float, default=0.3)
+    parser.add_argument("--num_heads", type=int, default=4)
+    parser.add_argument("--gru_groups", type=int, default=4)
     parser.add_argument("--max_time_context", type=int, default=None,
                         help="Banded-causal time-attention lookback in "
                              "frames (None = full attention, matching the "
@@ -98,6 +100,8 @@ def main():
         lambda_fm=args.lambda_fm,
         gan_loss=args.gan_loss,
         compress_c=args.compress_c,
+        num_heads=args.num_heads,
+        gru_groups=args.gru_groups,
         max_time_context=args.max_time_context,
         seed=args.seed,
         log_interval=args.log_interval,
