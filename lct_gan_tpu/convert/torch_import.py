@@ -22,7 +22,7 @@ parity testing and checkpoint import, never in the TPU compute path).
 
 from __future__ import annotations
 
-from typing import Any, Dict, Mapping, Sequence
+from typing import Any, Dict, Mapping, Sequence, Tuple
 
 import numpy as np
 
@@ -188,6 +188,77 @@ def _wn_conv1d(sd, prefix) -> Tree:
     v = _np(sd, f"{prefix}.weight_v").transpose(2, 1, 0)
     g = _np(sd, f"{prefix}.weight_g").reshape(-1)
     return {"v": v, "g": g, "bias": _np(sd, f"{prefix}.bias")}
+
+
+def _sn_conv(sd, prefix, conv1d: bool) -> Tuple[Tree, Tree]:
+    """torch.nn.utils.spectral_norm params (weight_orig/weight_u/weight_v)
+    -> (params, spectral buffers) for SNConv.
+
+    torch matricizes weight as [out, -1] in (in, k...) column order; our
+    HWIO matricization orders columns (k..., in), so v is permuted
+    accordingly (sigma = u W v is invariant under the matched permutation).
+    """
+    w = _np(sd, f"{prefix}.weight_orig")
+    u = _np(sd, f"{prefix}.weight_u")
+    v = _np(sd, f"{prefix}.weight_v")
+    if conv1d:
+        out_ch, in_g, k = w.shape
+        kernel = w.transpose(2, 1, 0)  # WIO
+        v_perm = v.reshape(in_g, k).transpose(1, 0).reshape(-1)
+    else:
+        out_ch, in_g, kh, kw = w.shape
+        kernel = w.transpose(2, 3, 1, 0)  # HWIO
+        v_perm = v.reshape(in_g, kh, kw).transpose(1, 2, 0).reshape(-1)
+    params = {"kernel": kernel, "bias": _np(sd, f"{prefix}.bias")}
+    spectral = {"u": u, "v": v_perm}
+    return params, spectral
+
+
+def convert_mpd_sn(sd: Mapping[str, Any],
+                   periods: Sequence[int] = (2, 3, 5, 7, 11)
+                   ) -> Tuple[Tree, Tree]:
+    """Convert a spectral-normed MultiPeriodDiscriminator state_dict
+    (reference: discriminators.py:29-33 with use_spectral_norm=True).
+    Returns (params, spectral) trees."""
+    params: Tree = {}
+    spectral: Tree = {}
+    for i, p in enumerate(periods):
+        pre = f"discriminators.{i}"
+        psub: Tree = {}
+        ssub: Tree = {}
+        for j in range(5):
+            psub[f"conv{j}"], ssub[f"conv{j}"] = _sn_conv(
+                sd, f"{pre}.convs.{j}", conv1d=False)
+        psub["conv_post"], ssub["conv_post"] = _sn_conv(
+            sd, f"{pre}.conv_post", conv1d=False)
+        params[f"disc_p{p}"] = psub
+        spectral[f"disc_p{p}"] = ssub
+    return params, spectral
+
+
+def convert_msd_sn(sd: Mapping[str, Any],
+                   num_scales: int = 3) -> Tuple[Tree, Tree]:
+    """Convert a MultiScaleDiscriminator state_dict with
+    use_spectral_norm=True: spectral norm on scale 0 only, weight norm on
+    the rest (reference: discriminators.py:243-248).
+    Returns (params, spectral) trees."""
+    params: Tree = {}
+    spectral: Tree = {}
+    for i in range(num_scales):
+        pre = f"discriminators.{i}"
+        psub: Tree = {}
+        ssub: Tree = {}
+        for j in range(7):
+            name = f"conv{j}" if j < 6 else "conv_post"
+            tkey = f"{pre}.convs.{j}" if j < 6 else f"{pre}.conv_post"
+            if i == 0:
+                psub[name], ssub[name] = _sn_conv(sd, tkey, conv1d=True)
+            else:
+                psub[name] = _wn_conv1d(sd, tkey)
+        params[f"disc_s{i}"] = psub
+        if ssub:
+            spectral[f"disc_s{i}"] = ssub
+    return params, spectral
 
 
 def convert_mpd(sd: Mapping[str, Any],

@@ -78,11 +78,15 @@ class WNConv(nn.Module):
 
 
 class SNConv(nn.Module):
-    """Conv (1D or 2D) with torch-style spectral norm (1 power iteration).
+    """Conv (1D or 2D) with torch-style spectral norm.
 
-    The left singular vector estimate `u` lives in the mutable
-    'spectral' variable collection; pass mutable=['spectral'] during
-    training applies to update it.
+    Matches torch.nn.utils.spectral_norm (the old non-parametrize API the
+    reference uses, discriminators.py:33): singular-vector estimates `u`
+    and `v` are buffers in the 'spectral' variable collection. When the
+    collection is mutable (training; pass mutable=['spectral'] to apply),
+    one power iteration updates them and sigma uses the UPDATED vectors;
+    when immutable (eval), sigma uses the stored vectors as-is -- exactly
+    torch's do_power_iteration split.
     """
 
     features: int
@@ -106,25 +110,32 @@ class SNConv(nn.Module):
         # [out, -1] for the power iteration).
         perm = (w.ndim - 1, *range(w.ndim - 1))
         mat = w.transpose(perm).reshape(self.features, -1)
-
-        u_var = self.variable(
-            "spectral", "u",
-            lambda: jax.random.normal(self.make_rng("params")
-                                      if self.has_rng("params") else
-                                      jax.random.PRNGKey(0),
-                                      (self.features,)))
-        u = u_var.value
+        n_cols = mat.shape[1]
 
         def l2norm(t):
             return t / jnp.maximum(jnp.linalg.norm(t), 1e-12)
 
-        v = l2norm(mat.T @ u)
-        u_new = l2norm(mat @ v)
-        sigma = u_new @ (mat @ v)
-        # Updates apply only when the 'spectral' collection is mutable
-        # (training); flax ignores writes otherwise.
-        u_var.value = jax.lax.stop_gradient(u_new)
+        u_var = self.variable(
+            "spectral", "u",
+            lambda: l2norm(jax.random.normal(
+                jax.random.PRNGKey(0), (self.features,))))
+        v_var = self.variable(
+            "spectral", "v",
+            lambda: l2norm(jax.random.normal(
+                jax.random.PRNGKey(1), (n_cols,))))
+        u = u_var.value
+        v = v_var.value
 
-        kernel = w / jnp.maximum(sigma, 1e-12)
+        updating = self.is_mutable_collection("spectral")
+        if updating and not self.is_initializing():
+            v = l2norm(jax.lax.stop_gradient(mat).T @ u)
+            u = l2norm(jax.lax.stop_gradient(mat) @ v)
+            u_var.value = u
+            v_var.value = v
+        sigma = u @ (mat @ v)
+
+        # torch divides by sigma unguarded (it may be negative before the
+        # first power iterations converge); matching exactly.
+        kernel = w / sigma
         pads = tuple((p, p) for p in self.padding)
         return _conv(x, kernel, bias, self.strides, pads, self.groups)

@@ -38,7 +38,43 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["fused_mhsa", "pick_block_seqs"]
+__all__ = ["fused_mhsa", "mhsa_reference", "pick_block_seqs"]
+
+
+def mhsa_reference(x: jax.Array,
+                   in_proj_kernel: jax.Array,
+                   in_proj_bias: jax.Array,
+                   out_proj_kernel: jax.Array,
+                   out_proj_bias: jax.Array,
+                   num_heads: int = 4,
+                   lookback: Optional[int] = None) -> jax.Array:
+    """Pure-jnp MHSA (torch.nn.MultiheadAttention math). Shared by the
+    flax module's non-TPU path and the Pallas kernel's backward pass."""
+    B, S, E = x.shape
+    nh = num_heads
+    hd = E // nh
+    qkv = jnp.einsum("bse,ef->bsf", x, in_proj_kernel,
+                     preferred_element_type=jnp.float32) + in_proj_bias
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+
+    def heads(t):
+        return t.reshape(B, S, nh, hd).transpose(0, 2, 1, 3)
+
+    q, k, v = heads(q), heads(k), heads(v)
+    scores = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                        preferred_element_type=jnp.float32)
+    scores = scores / jnp.sqrt(jnp.asarray(hd, scores.dtype))
+    if lookback is not None:
+        qpos = jnp.arange(S)[:, None]
+        kpos = jnp.arange(S)[None, :]
+        mask = (kpos <= qpos) & (kpos >= qpos - lookback)
+        scores = jnp.where(mask[None, None], scores, -jnp.inf)
+    attn = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum("bhqk,bhkd->bhqd", attn, v,
+                     preferred_element_type=jnp.float32)
+    out = out.transpose(0, 2, 1, 3).reshape(B, S, E)
+    return jnp.einsum("bse,ef->bsf", out, out_proj_kernel,
+                      preferred_element_type=jnp.float32) + out_proj_bias
 
 
 def pick_block_seqs(length: int) -> int:
@@ -105,24 +141,9 @@ def _mhsa_kernel(x_ref, in_w_ref, in_b_ref, out_w_ref, out_b_ref, o_ref,
     o_ref[...] = out.reshape(S, L, E).astype(o_ref.dtype)
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("num_heads", "lookback", "block_seqs", "interpret"))
-def fused_mhsa(x: jax.Array,
-               in_proj_kernel: jax.Array,
-               in_proj_bias: jax.Array,
-               out_proj_kernel: jax.Array,
-               out_proj_bias: jax.Array,
-               *,
-               num_heads: int = 4,
-               lookback: Optional[int] = None,
-               block_seqs: Optional[int] = None,
-               interpret: bool = False) -> jax.Array:
-    """Fused MHSA over x [N, L, E]. Returns [N, L, E] (f32).
-
-    in_proj_kernel [E, 3E] / out_proj_kernel [E, E] in the same layout as
-    models/attention.py.
-    """
+def _fused_mhsa_pallas(x, in_proj_kernel, in_proj_bias, out_proj_kernel,
+                       out_proj_bias, num_heads, lookback, block_seqs,
+                       interpret):
     N, L, E = x.shape
     if block_seqs is None:
         block_seqs = pick_block_seqs(L)
@@ -165,3 +186,53 @@ def fused_mhsa(x: jax.Array,
     )(x.astype(jnp.float32), in_proj_kernel, in_proj_bias,
       out_proj_kernel, out_proj_bias)
     return out[:N] if pad else out
+
+
+# pallas_call has no autodiff rule; training differentiates through the
+# attention, so the kernel carries a custom VJP whose backward recomputes
+# via the jnp reference implementation (standard fused-forward pattern --
+# fwd runs the kernel, bwd is XLA).
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
+def _fused_mhsa(x, iw, ib, ow, ob, num_heads, lookback, block_seqs,
+                interpret):
+    return _fused_mhsa_pallas(x, iw, ib, ow, ob, num_heads, lookback,
+                              block_seqs, interpret)
+
+
+def _fused_mhsa_fwd(x, iw, ib, ow, ob, num_heads, lookback, block_seqs,
+                    interpret):
+    out = _fused_mhsa_pallas(x, iw, ib, ow, ob, num_heads, lookback,
+                             block_seqs, interpret)
+    return out, (x, iw, ib, ow, ob)
+
+
+def _fused_mhsa_bwd(num_heads, lookback, block_seqs, interpret, res, g):
+    x, iw, ib, ow, ob = res
+    _, vjp = jax.vjp(
+        lambda x, iw, ib, ow, ob: mhsa_reference(
+            x, iw, ib, ow, ob, num_heads=num_heads, lookback=lookback),
+        x, iw, ib, ow, ob)
+    return vjp(g)
+
+
+_fused_mhsa.defvjp(_fused_mhsa_fwd, _fused_mhsa_bwd)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("num_heads", "lookback", "block_seqs", "interpret"))
+def fused_mhsa(x: jax.Array,
+               in_proj_kernel: jax.Array,
+               in_proj_bias: jax.Array,
+               out_proj_kernel: jax.Array,
+               out_proj_bias: jax.Array,
+               *,
+               num_heads: int = 4,
+               lookback: Optional[int] = None,
+               block_seqs: Optional[int] = None,
+               interpret: bool = False) -> jax.Array:
+    """Fused MHSA over x [N, L, E]. Returns [N, L, E] (f32).
+    Differentiable (custom VJP); kernel layout as models/attention.py."""
+    return _fused_mhsa(x, in_proj_kernel, in_proj_bias, out_proj_kernel,
+                       out_proj_bias, num_heads, lookback, block_seqs,
+                       interpret)

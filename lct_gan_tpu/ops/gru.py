@@ -35,8 +35,40 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["fused_grouped_gru", "pack_dense_gru_weights",
-           "pack_gate_major_bias"]
+__all__ = ["fused_grouped_gru", "grouped_gru_reference",
+           "pack_dense_gru_weights", "pack_gate_major_bias"]
+
+
+def grouped_gru_reference(x, w_ih, w_hh, b_ih, b_hh,
+                          bidirectional: bool = False) -> jax.Array:
+    """Pure-jnp grouped GRU (the lax.scan formulation from models/gru.py),
+    used for the Pallas kernel's backward pass."""
+    N, L, C = x.shape
+    D, G, H, _ = w_ih.shape
+
+    xg = x.reshape(N, L, G, H).transpose(1, 0, 2, 3)  # [L, N, G, H]
+    h0 = jnp.zeros((N, G, H), dtype=jnp.float32)
+
+    def run(d, reverse):
+        xp = jnp.einsum("sbgi,gio->sbgo", xg, w_ih[d],
+                        preferred_element_type=jnp.float32) + b_ih[d]
+
+        def step(h, xpt):
+            hp = jnp.einsum("bgh,gho->bgo", h, w_hh[d],
+                            preferred_element_type=jnp.float32) + b_hh[d]
+            r = jax.nn.sigmoid(xpt[..., :H] + hp[..., :H])
+            z = jax.nn.sigmoid(xpt[..., H:2 * H] + hp[..., H:2 * H])
+            n = jnp.tanh(xpt[..., 2 * H:] + r * hp[..., 2 * H:])
+            h_new = (1.0 - z) * n + z * h
+            return h_new, h_new
+
+        _, ys = jax.lax.scan(step, h0, xp, reverse=reverse)
+        return ys
+
+    y = run(0, False)
+    if bidirectional:
+        y = y + run(1, True)
+    return y.transpose(1, 0, 2, 3).reshape(N, L, C)
 
 
 def pack_dense_gru_weights(w: jax.Array) -> jax.Array:
@@ -135,24 +167,8 @@ def _run_direction(xp: jax.Array, whh: jax.Array, bhh: jax.Array,
     )(xp, whh, bhh)
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("bidirectional", "block_b", "interpret"))
-def fused_grouped_gru(x: jax.Array,
-                      w_ih: jax.Array,
-                      w_hh: jax.Array,
-                      b_ih: jax.Array,
-                      b_hh: jax.Array,
-                      *,
-                      bidirectional: bool = False,
-                      block_b: Optional[int] = None,
-                      interpret: bool = False) -> jax.Array:
-    """Fused grouped GRU over x [N, L, C] (C = groups * hidden).
-
-    w_ih/w_hh: [D, G, H, 3H], b_ih/b_hh: [D, G, 3H] -- the GroupedGRU
-    param layout (models/gru.py). Returns [N, L, C] f32 (directions
-    summed when bidirectional).
-    """
+def _fused_grouped_gru_pallas(x, w_ih, w_hh, b_ih, b_hh, bidirectional,
+                              block_b, interpret):
     N, L, C = x.shape
     D = w_ih.shape[0]
 
@@ -186,3 +202,52 @@ def fused_grouped_gru(x: jax.Array,
         out = ys if out is None else out + ys
 
     return out[:N] if pad else out
+
+
+# pallas_call has no autodiff rule; the backward recomputes through the
+# jnp reference scan.
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def _fused_grouped_gru(x, w_ih, w_hh, b_ih, b_hh, bidirectional, block_b,
+                       interpret):
+    return _fused_grouped_gru_pallas(x, w_ih, w_hh, b_ih, b_hh,
+                                     bidirectional, block_b, interpret)
+
+
+def _fgg_fwd(x, w_ih, w_hh, b_ih, b_hh, bidirectional, block_b, interpret):
+    out = _fused_grouped_gru_pallas(x, w_ih, w_hh, b_ih, b_hh,
+                                    bidirectional, block_b, interpret)
+    return out, (x, w_ih, w_hh, b_ih, b_hh)
+
+
+def _fgg_bwd(bidirectional, block_b, interpret, res, g):
+    x, w_ih, w_hh, b_ih, b_hh = res
+    _, vjp = jax.vjp(
+        lambda x, a, b, c, d: grouped_gru_reference(
+            x, a, b, c, d, bidirectional=bidirectional),
+        x, w_ih, w_hh, b_ih, b_hh)
+    return vjp(g)
+
+
+_fused_grouped_gru.defvjp(_fgg_fwd, _fgg_bwd)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("bidirectional", "block_b", "interpret"))
+def fused_grouped_gru(x: jax.Array,
+                      w_ih: jax.Array,
+                      w_hh: jax.Array,
+                      b_ih: jax.Array,
+                      b_hh: jax.Array,
+                      *,
+                      bidirectional: bool = False,
+                      block_b: Optional[int] = None,
+                      interpret: bool = False) -> jax.Array:
+    """Fused grouped GRU over x [N, L, C] (C = groups * hidden).
+
+    w_ih/w_hh: [D, G, H, 3H], b_ih/b_hh: [D, G, 3H] -- the GroupedGRU
+    param layout (models/gru.py). Returns [N, L, C] f32 (directions
+    summed when bidirectional). Differentiable (custom VJP).
+    """
+    return _fused_grouped_gru(x, w_ih, w_hh, b_ih, b_hh, bidirectional,
+                              block_b, interpret)
