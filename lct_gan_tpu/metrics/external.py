@@ -11,7 +11,7 @@ implementation (lct_gan_tpu/metrics/stoi.py) otherwise.
 from __future__ import annotations
 
 import math
-from typing import Dict, Optional
+from typing import Dict
 
 import numpy as np
 

@@ -14,7 +14,7 @@ torch.nn.utils.spectral_norm defaults (n_power_iterations=1, eps=1e-12).
 
 from __future__ import annotations
 
-from typing import Sequence, Tuple, Union
+from typing import Sequence, Tuple
 
 import jax
 import jax.numpy as jnp

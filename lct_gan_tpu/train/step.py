@@ -21,7 +21,7 @@ all-reduces automatically (see lct_gan_tpu/parallel/mesh.py).
 
 from __future__ import annotations
 
-import functools
+
 from typing import Any, Dict, Tuple
 
 import jax
