@@ -29,6 +29,11 @@ def parse_args():
     parser.add_argument("--pad_outputs", action="store_true",
                         help="Reproduce the reference's quirk of saving "
                              "padded-length wavs (infer.py:150-155).")
+    parser.add_argument("--chunk_seconds", type=float, default=None,
+                        help="Enhance in fixed-size overlapping chunks "
+                             "(bounded memory + one compiled shape; for "
+                             "very long recordings).")
+    parser.add_argument("--chunk_overlap", type=float, default=0.5)
     return parser.parse_args()
 
 
@@ -63,6 +68,26 @@ def main():
                     sample_rate=args.sample_rate, segment_length=None,
                     random_segment=False)
     os.makedirs(args.output_dir, exist_ok=True)
+
+    if args.chunk_seconds is not None:
+        from lct_gan_tpu.eval.streaming import enhance_in_chunks
+
+        t0 = time.time()
+        total_audio = 0.0
+        for n_done, uid in enumerate(ds.utt_ids, 1):
+            sample = ds[n_done - 1]
+            out = enhance_in_chunks(
+                lambda x: enhance(g_params, x), sample["noisy"],
+                args.sample_rate, chunk_seconds=args.chunk_seconds,
+                overlap_seconds=args.chunk_overlap)
+            write_wav(os.path.join(args.output_dir, f"{uid}.wav"),
+                      out, args.sample_rate)
+            total_audio += out.shape[-1] / args.sample_rate
+            print(f"[{n_done}/{len(ds)}] enhanced (chunked)", flush=True)
+        dt = time.time() - t0
+        print(f"Done: {n_done} utterances, {total_audio:.1f}s audio in "
+              f"{dt:.1f}s ({total_audio / max(dt, 1e-9):.2f}x realtime)")
+        return
 
     t0 = time.time()
     total_audio = 0.0

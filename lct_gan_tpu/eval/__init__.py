@@ -7,7 +7,11 @@ from lct_gan_tpu.eval.compare import (
     plot_specs_triptych,
 )
 
+from lct_gan_tpu.eval.streaming import StreamingEnhancer, enhance_in_chunks
+
 __all__ = [
+    "StreamingEnhancer",
+    "enhance_in_chunks",
     "plot_specs_triptych",
     "ModelComparator",
     "make_jax_system",
