@@ -6,19 +6,21 @@ Prints ONE JSON line:
 
 Baseline: the reference publishes no performance numbers (BASELINE.md) and
 no GPU is available in this environment, so the recorded baseline is the
-reference PyTorch LCTEnhancer measured in THIS container (torch 2.13 CPU,
-single core, batch 8 x 2 s @ 16 kHz): 7.21 audio-sec/sec. vs_baseline is
-our TPU throughput over that number. Details go to stderr; the JSON line
-is the only stdout output.
+reference PyTorch LCTEnhancer measured in THIS container at the SAME
+workload as this benchmark (torch 2.13.0+cpu, 1 thread, batch 128 x 2 s
+@ 16 kHz): 11.68 audio-sec/sec -- reproduce with
+`python tools/bench_reference_torch.py --batch 128 --iters 2`.
+vs_baseline is our TPU throughput over that number. Details go to stderr;
+the JSON line is the only stdout output.
 """
 
 import json
 import sys
 import time
 
-# Reference torch-CPU throughput measured in this container (see module
-# docstring). Re-measure with tools/bench_reference_torch.py.
-TORCH_CPU_BASELINE_AUDIO_SEC_PER_SEC = 7.21
+# Reference torch-CPU throughput at this benchmark's exact workload
+# (B=128 x 2 s), measured 2026-08-16 by tools/bench_reference_torch.py.
+TORCH_CPU_BASELINE_AUDIO_SEC_PER_SEC = 11.68
 
 BATCH = 128
 SECONDS = 2.0

@@ -30,14 +30,23 @@ def main():
     ap.add_argument("--estoi", action="store_true")
     args = ap.parse_args()
 
-    from lct_gan_tpu.eval import ModelComparator, make_jax_system
+    from lct_gan_tpu.eval import (
+        ModelComparator,
+        make_deepfilternet_system,
+        make_jax_system,
+    )
 
     systems = {}
     for spec in args.system:
         name, _, ckpt = spec.partition("=")
         if not ckpt:
             ap.error(f"--system must be NAME=CHECKPOINT, got {spec!r}")
-        systems[name] = make_jax_system(ckpt)
+        if ckpt == "dfn":
+            # DeepFilterNet3 comparison (needs `pip install deepfilternet`;
+            # raises a clear ImportError in images without it).
+            systems[name] = make_deepfilternet_system()
+        else:
+            systems[name] = make_jax_system(ckpt)
 
     comp = ModelComparator(systems, metrics_estoi=args.estoi)
     result = comp.process_one_file(args.noisy, args.out_dir,

@@ -25,7 +25,15 @@ def parse_args():
     parser.add_argument("--output_dir", type=str, default="enhanced_test")
     parser.add_argument("--batch_size", type=int, default=8)
     parser.add_argument("--num_workers", type=int, default=4)
-    parser.add_argument("--compress_c", type=float, default=0.3)
+    parser.add_argument("--compress_c", type=float, default=None,
+                        help="Mask compression exponent. Default: the "
+                             "checkpoint's saved train config (0.3 if "
+                             "unavailable).")
+    parser.add_argument("--max_time_context", type=int, default=None,
+                        help="Banded-causal time-attention lookback. "
+                             "Default: the checkpoint's saved train config "
+                             "(full attention if unavailable). Must match "
+                             "training or outputs diverge silently.")
     parser.add_argument("--pad_outputs", action="store_true",
                         help="Reproduce the reference's quirk of saving "
                              "padded-length wavs (infer.py:150-155).")
@@ -50,12 +58,38 @@ def main():
         write_wav,
     )
     from lct_gan_tpu.train import TrainConfig, build_models
-    from lct_gan_tpu.train.checkpoint import load_generator_params
+    from lct_gan_tpu.train.checkpoint import (
+        load_generator_params,
+        read_checkpoint_meta,
+    )
     from lct_gan_tpu.utils import enable_compile_cache
 
     enable_compile_cache()
+
+    # Behavioral hyperparameters default to the checkpoint's own training
+    # config (they change outputs without changing parameter shapes, so a
+    # mismatch would be silent). CLI flags override, with a warning.
+    saved_cfg = read_checkpoint_meta(args.checkpoint).get("train_cfg", {})
+    compress_c = args.compress_c
+    if compress_c is None:
+        compress_c = float(saved_cfg.get("compress_c", 0.3))
+    elif ("compress_c" in saved_cfg
+          and compress_c != float(saved_cfg["compress_c"])):
+        print(f"WARNING: --compress_c={compress_c} differs from the "
+              f"checkpoint's training value {saved_cfg['compress_c']}")
+    max_time_context = args.max_time_context
+    if max_time_context is None:
+        max_time_context = saved_cfg.get("max_time_context")
+        if max_time_context is not None:
+            max_time_context = int(max_time_context)
+    elif saved_cfg and max_time_context != saved_cfg.get("max_time_context"):
+        print(f"WARNING: --max_time_context={max_time_context} differs from "
+              f"the checkpoint's training value "
+              f"{saved_cfg.get('max_time_context')}")
+
     cfg = TrainConfig(sample_rate=args.sample_rate,
-                      compress_c=args.compress_c)
+                      compress_c=compress_c,
+                      max_time_context=max_time_context)
     g_params = load_generator_params(args.checkpoint, cfg)
     enhancer, _, _ = build_models(cfg)
 

@@ -56,7 +56,12 @@ class ScpDataset:
         self.segment_length = segment_length
         self.random_segment = random_segment
         self.transform = transform
-        self.rng = np.random.default_rng(seed)
+        # Crops are keyed on (seed, epoch, index) rather than drawn from a
+        # stateful generator, so a --resume'd run reproduces the exact
+        # segment draws of an uninterrupted one (the reference's DataLoader
+        # workers cannot). batch_iterator calls set_epoch() each epoch.
+        self.seed = seed
+        self.epoch = 0
 
         if not os.path.isabs(scp_path):
             scp_path = os.path.join(data_root, scp_path)
@@ -76,7 +81,11 @@ class ScpDataset:
     def __len__(self) -> int:
         return len(self.utt_ids)
 
-    def _crop_pair(self, noisy: np.ndarray, clean: np.ndarray):
+    def set_epoch(self, epoch: int) -> None:
+        """Advance the deterministic crop key (resume-stable data order)."""
+        self.epoch = int(epoch)
+
+    def _crop_pair(self, noisy: np.ndarray, clean: np.ndarray, index: int):
         """Shared-start crop (reference: datasets/datasets.py:131-156)."""
         if self.segment_length is None:
             return noisy, clean
@@ -86,7 +95,9 @@ class ScpDataset:
             return noisy, clean
         max_start = min_len - seg
         if self.random_segment:
-            start = int(self.rng.integers(0, max_start + 1))
+            rng = np.random.default_rng(
+                np.random.SeedSequence([self.seed, self.epoch, index]))
+            start = int(rng.integers(0, max_start + 1))
         else:
             start = max_start // 2
         return noisy[start:start + seg], clean[start:start + seg]
@@ -101,7 +112,7 @@ class ScpDataset:
             raise RuntimeError(
                 f"Sample rate mismatch for {utt_id}: noisy={sr_noisy}, "
                 f"clean={sr_clean}")
-        noisy, clean = self._crop_pair(noisy, clean)
+        noisy, clean = self._crop_pair(noisy, clean, index)
         sample: Dict = {
             "id": utt_id,
             "noisy": noisy,

@@ -64,6 +64,8 @@ def batch_iterator(
       training batches).
     bucket: pad full utterances to geometric length buckets (val/infer).
     """
+    if hasattr(dataset, "set_epoch"):
+        dataset.set_epoch(epoch)  # resume-stable segment crops
     order = np.arange(len(dataset))
     if shuffle:
         rng = np.random.default_rng(np.random.SeedSequence([seed, epoch]))

@@ -1,5 +1,6 @@
 from lct_gan_tpu.eval.compare import (
     ModelComparator,
+    make_deepfilternet_system,
     make_jax_system,
     make_torch_reference_system,
     plot_spec,
@@ -14,6 +15,7 @@ __all__ = [
     "enhance_in_chunks",
     "plot_specs_triptych",
     "ModelComparator",
+    "make_deepfilternet_system",
     "make_jax_system",
     "make_torch_reference_system",
     "plot_spec",

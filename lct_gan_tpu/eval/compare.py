@@ -28,6 +28,7 @@ __all__ = [
     "plot_spec",
     "plot_specs_stack",
     "plot_specs_triptych",
+    "make_deepfilternet_system",
     "make_jax_system",
     "make_torch_reference_system",
 ]
@@ -158,6 +159,44 @@ def make_torch_reference_system(checkpoint: str,
         with torch.no_grad():
             out, _ = enh(torch.from_numpy(wave[None].astype(np.float32)))
         return out[0].numpy()
+
+    return system
+
+
+def make_deepfilternet_system(sample_rate: int = 16000) -> System:
+    """DeepFilterNet3 comparison system (reference: run_deepfilternet,
+    Experiments/util.py:388-393): resample to DFN's native 48 kHz, enhance,
+    resample back.
+
+    The `df` package is NOT installed in this image; calling this raises a
+    clear ImportError immediately (rather than a confusing failure at
+    enhancement time). With `pip install deepfilternet` the same code path
+    is the working comparison:
+
+        systems = {"ours": make_jax_system(ckpt),
+                   "dfn": make_deepfilternet_system()}
+        ModelComparator(systems).process_one_file(noisy_wav, out_dir)
+    """
+    try:
+        from df.enhance import enhance, init_df
+    except ImportError as e:
+        raise ImportError(
+            "DeepFilterNet comparison requires the `df` package, which is "
+            "not installed in this image. Install with `pip install "
+            "deepfilternet` (pulls torch + model weights) and re-run. All "
+            "other ModelComparator systems work without it.") from e
+    import torch
+
+    from lct_gan_tpu.data.audio_io import resample
+
+    model, df_state, _ = init_df()
+    df_sr = df_state.sr()  # 48000
+
+    def system(wave: np.ndarray) -> np.ndarray:
+        hi = resample(wave.astype(np.float32), sample_rate, df_sr)
+        out = enhance(model, df_state, torch.from_numpy(hi[None]))
+        out = out.squeeze(0).numpy()
+        return resample(out, df_sr, sample_rate)[:len(wave)]
 
     return system
 

@@ -5,8 +5,10 @@ which on an accelerator means one compiled shape per padded length and
 unbounded memory for long recordings. This module processes audio in
 fixed-size overlapping chunks and crossfades the seams:
 
-  * ONE compiled enhancer shape regardless of input length (all chunks of
-    an utterance run as a single batched call -- good MXU utilization);
+  * a BOUNDED set of compiled enhancer shapes regardless of input length
+    (chunk batches are padded to power-of-two row buckets, so at most
+    log2(max_batch)+1 shapes ever compile -- good MXU utilization without
+    a per-chunk-count recompile storm);
   * bounded memory: arbitrarily long files stream through;
   * overlap-crossfade (raised-cosine ramps) hides boundary artifacts from
     the STFT edge padding and the bidirectional frequency GRUs.
@@ -52,30 +54,44 @@ def enhance_in_chunks(enhance_fn,
     T = wave.shape[-1]
     C = int(chunk_seconds * sample_rate)
     V = int(overlap_seconds * sample_rate)
-    if V >= C:
-        raise ValueError("overlap must be smaller than the chunk")
+    if V > C // 2:
+        # With hop = C - V < C/2, three or more chunks would overlap each
+        # sample and the fade-in/fade-out pair no longer sums to 1
+        # (amplitude ripple).
+        raise ValueError(
+            f"overlap ({V} samples) must be at most half the chunk "
+            f"({C} samples)")
     hop = C - V
     if T <= C:
-        out = np.asarray(enhance_fn(np.pad(wave, (0, C - T))[None]))[0]
-        return out[:T]
+        n_chunks = 1
+        padded = np.pad(wave, (0, C - T))
+        chunks = padded[None]
+    else:
+        n_chunks = 1 + int(np.ceil((T - C) / hop))
+        padded = np.pad(wave, (0, (n_chunks - 1) * hop + C - T))
+        chunks = np.stack([padded[i * hop:i * hop + C]
+                           for i in range(n_chunks)])
 
-    n_chunks = 1 + int(np.ceil((T - C) / hop))
-    padded = np.pad(wave, (0, (n_chunks - 1) * hop + C - T))
-    chunks = np.stack([padded[i * hop:i * hop + C]
-                       for i in range(n_chunks)])
+    def _row_bucket(n: int) -> int:
+        # Bound compiled shapes: pad rows to the next power of two up to
+        # max_batch -- at most log2(max_batch)+1 distinct shapes total.
+        b = 1
+        while b < min(n, max_batch):
+            b *= 2
+        return min(b, max_batch)
 
     outs = []
     for i in range(0, n_chunks, max_batch):
         batch = chunks[i:i + max_batch]
-        if batch.shape[0] < max_batch and n_chunks > max_batch:
-            # Keep the compiled shape fixed across calls.
-            pad_rows = max_batch - batch.shape[0]
+        rows = batch.shape[0]
+        bucket = _row_bucket(rows)
+        if rows < bucket:
             batch = np.concatenate(
-                [batch, np.zeros((pad_rows, C), np.float32)])
-            outs.append(np.asarray(enhance_fn(batch))[:n_chunks - i])
-        else:
-            outs.append(np.asarray(enhance_fn(batch)))
+                [batch, np.zeros((bucket - rows, C), np.float32)])
+        outs.append(np.asarray(enhance_fn(batch))[:rows])
     enhanced_chunks = np.concatenate(outs, axis=0)
+    if n_chunks == 1:
+        return enhanced_chunks[0, :T]
 
     out = np.zeros_like(padded)
     ramp = _crossfade_ramp(V)

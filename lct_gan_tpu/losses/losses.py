@@ -65,7 +65,8 @@ def mr_stft_loss(
     """
     if y_hat.ndim != 2 or y.ndim != 2:
         raise ValueError(
-            f"Expected y_hat, y of shape [B, T], got {y_hat.shape}, {y.shape}")
+            f"mr_stft_loss wants 2-D [batch, samples] waveforms; "
+            f"got {y_hat.shape} and {y.shape}")
     total = 0.0
     mag_total = 0.0
     complex_total = 0.0
@@ -91,6 +92,41 @@ def mr_stft_loss(
         "mrstft_complex": jax.lax.stop_gradient(complex_total),
     }
     return total, details
+
+
+def mr_stft_loss_per_sample(
+    y_hat: jax.Array,
+    y: jax.Array,
+    cfg: MRSTFTLossConfig = MRSTFTLossConfig(),
+) -> jax.Array:
+    """Per-utterance MR-STFT loss: same math as `mr_stft_loss` but the
+    means run over frequency/time only, returning a [B] vector.
+
+    Used by validation so padded tail-batch rows can be excluded from the
+    epoch mean instead of silently biasing it (the scalar loss averages
+    over every row, duplicates included). `mr_stft_loss(x, y)[0]` equals
+    `mr_stft_loss_per_sample(x, y).mean()` exactly.
+    """
+    if y_hat.ndim != 2 or y.ndim != 2:
+        raise ValueError(
+            f"mr_stft_loss_per_sample wants 2-D [batch, samples] waveforms; "
+            f"got {y_hat.shape} and {y.shape}")
+    total = jnp.zeros((y.shape[0],), jnp.float32)
+    weight_sum = 0.0
+    for scfg, w in zip(cfg.stft_configs(), cfg.weights()):
+        Y_hat = stft(y_hat, scfg)
+        Y = stft(y, scfg)
+        mag_loss = jnp.mean(jnp.square(magnitude(Y_hat) - magnitude(Y)),
+                            axis=(1, 2))
+        diff = Y_hat - Y
+        complex_loss = jnp.mean(
+            jnp.square(diff.real) + jnp.square(diff.imag), axis=(1, 2))
+        total = total + w * (cfg.mag_weight * mag_loss +
+                             cfg.complex_weight * complex_loss)
+        weight_sum += w
+    if weight_sum > 0:
+        total = total / weight_sum
+    return total
 
 
 class MultiResolutionSTFTLoss:
@@ -119,7 +155,8 @@ def discriminator_loss(real_logits: Sequence[jax.Array],
     (reference: losses.py:110-135)."""
     if len(real_logits) != len(fake_logits):
         raise ValueError(
-            "real_logits and fake_logits must have the same length.")
+            f"logit list mismatch: {len(real_logits)} real vs "
+            f"{len(fake_logits)} fake")
     loss = 0.0
     for r, f in zip(real_logits, fake_logits):
         if loss_type == "ls":
@@ -154,13 +191,15 @@ def feature_matching_loss(real_fmaps: Sequence[Sequence[jax.Array]],
     (reference: losses.py:154-173)."""
     if len(real_fmaps) != len(fake_fmaps):
         raise ValueError(
-            "real_fmaps and fake_fmaps must have the same outer length.")
+            f"fmap outer-list mismatch: {len(real_fmaps)} real vs "
+            f"{len(fake_fmaps)} fake sub-discriminators")
     loss = 0.0
     count = 0
     for r_list, f_list in zip(real_fmaps, fake_fmaps):
         if len(r_list) != len(f_list):
             raise ValueError(
-                "Mismatched feature map list lengths for a discriminator.")
+                f"one sub-discriminator produced {len(r_list)} real but "
+                f"{len(f_list)} fake feature maps")
         for r, f in zip(r_list, f_list):
             loss = loss + jnp.mean(jnp.abs(f - r))
             count += 1

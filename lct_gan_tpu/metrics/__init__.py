@@ -1,5 +1,6 @@
 from lct_gan_tpu.metrics.sisdr import si_sdr, batch_si_sdr
 from lct_gan_tpu.metrics.stoi import stoi
+from lct_gan_tpu.metrics.fwsegsnr import fwsegsnr
 from lct_gan_tpu.metrics.external import (
     pesq_score,
     stoi_score,
@@ -11,6 +12,7 @@ __all__ = [
     "si_sdr",
     "batch_si_sdr",
     "stoi",
+    "fwsegsnr",
     "pesq_score",
     "stoi_score",
     "compute_metrics_for_pair",

@@ -85,10 +85,13 @@ def stoi_score(clean: np.ndarray, enhanced: np.ndarray, sample_rate: int,
 def compute_metrics_for_pair(clean_path: str, enhanced_path: str,
                              sample_rate: int = 16000,
                              include_pesq: bool = True,
-                             include_stoi: bool = True
+                             include_stoi: bool = True,
+                             include_fwsegsnr: bool = True
                              ) -> Dict[str, float]:
     """Load a clean/enhanced wav pair and compute SI-SDR / PESQ / STOI
-    (reference: metrics.py:133-159)."""
+    (reference: metrics.py:133-159), plus fwSegSNR (our self-contained
+    quality metric; the PESQ stand-in when the wheel is absent --
+    BASELINE.md acceptance procedure)."""
     from lct_gan_tpu.data.audio_io import load_mono_wave
 
     clean, _ = load_mono_wave(clean_path, sample_rate)
@@ -106,4 +109,11 @@ def compute_metrics_for_pair(clean_path: str, enhanced_path: str,
             out["stoi"] = stoi_score(clean, enhanced, sample_rate)
         except Exception:
             out["stoi"] = math.nan
+    if include_fwsegsnr:
+        from lct_gan_tpu.metrics.fwsegsnr import fwsegsnr
+
+        try:
+            out["fwsegsnr"] = fwsegsnr(clean, enhanced, sample_rate)
+        except Exception:
+            out["fwsegsnr"] = math.nan
     return out

@@ -32,15 +32,27 @@ def banded_causal_mask(length: int, lookback: int) -> jax.Array:
     return (k <= q) & (k >= q - lookback)
 
 
-def _pallas_ok() -> bool:
+# Above this sequence length the fused kernel's [R, R] f32 scores scratch
+# (R = block_seqs * S) no longer fits comfortably in ~16 MB VMEM
+# (S=2048 -> 16 MB for the scratch alone); dispatch to the jnp path, which
+# XLA tiles through HBM. Long bucketed utterances (~60 s audio) hit this.
+MAX_PALLAS_SEQ = 1024
+
+
+def _pallas_mode() -> Optional[str]:
+    """None = jnp path; 'compiled' = fused TPU kernel; 'interpret' = fused
+    kernel in interpreter mode (set LCT_PALLAS_INTERPRET=1 -- lets CPU-mesh
+    tests exercise the exact production dispatch path, sharding included)."""
     import os
 
     if os.environ.get("LCT_NO_PALLAS"):
-        return False
+        return None
+    if os.environ.get("LCT_PALLAS_INTERPRET"):
+        return "interpret"
     try:
-        return jax.default_backend() == "tpu"
+        return "compiled" if jax.default_backend() == "tpu" else None
     except Exception:
-        return False
+        return None
 
 
 class MultiHeadSelfAttention(nn.Module):
@@ -83,14 +95,16 @@ class MultiHeadSelfAttention(nn.Module):
                                 nn.initializers.xavier_uniform(), (E, E))
         out_bias = self.param("out_proj_bias", nn.initializers.zeros, (E,))
 
+        mode = _pallas_mode()
         use_pallas = self.use_pallas
         if use_pallas is None:
-            use_pallas = _pallas_ok()
-        if use_pallas and mask is None:
+            use_pallas = mode is not None
+        if use_pallas and mask is None and S <= MAX_PALLAS_SEQ:
             from lct_gan_tpu.ops.attention import fused_mhsa
 
             return fused_mhsa(x, in_kernel, in_bias, out_kernel, out_bias,
-                              num_heads=nh, lookback=lookback)
+                              num_heads=nh, lookback=lookback,
+                              interpret=(mode == "interpret"))
 
         if mask is None and lookback is not None:
             mask = banded_causal_mask(S, lookback)

@@ -78,17 +78,41 @@ def mhsa_reference(x: jax.Array,
 
 
 def pick_block_seqs(length: int) -> int:
-    """Sequences per tile: keep R = block_seqs * length (and the [R, R]
-    scores scratch) VMEM-friendly."""
-    if length <= 160:
+    """Sequences per tile. Measured on v5e (chained-in-jit, so free of the
+    ~4 ms/call tunnel dispatch overhead): L=33 best at 8 (10.4 ms for
+    N=16128), L=126 best at 4 (12.5 ms for N=4224); larger tiles lose
+    because total packed-scores FLOPs grow linearly with block_seqs while
+    the per-tile pipeline overhead is already amortized."""
+    if length <= 64:
         return 8
+    if length <= 256:
+        return 4
     if length <= 512:
         return 2
     return 1
 
 
-def _mhsa_kernel(x_ref, in_w_ref, in_b_ref, out_w_ref, out_b_ref, o_ref,
-                 p_scratch, *, num_heads: int, length: int,
+def _block_mask_bias(block_seqs: int, length: int,
+                     lookback: Optional[int]) -> np.ndarray:
+    """[R, R] f32 additive bias: 0 where packed row/col are in the same
+    sequence (and within the optional causal band), -1e30 elsewhere.
+
+    Precomputed ON THE HOST at trace time: computing it in-kernel needs
+    two [R, R] integer divisions by L per tile (L=33 is not a power of
+    two), which measured as a dominant VPU cost. As a kernel input with a
+    constant index_map it loads into VMEM once and stays resident."""
+    R = block_seqs * length
+    pos = np.arange(R)
+    same = (pos[:, None] // length) == (pos[None, :] // length)
+    if lookback is not None:
+        rl = pos[:, None] % length
+        cl = pos[None, :] % length
+        same &= (cl <= rl) & (cl >= rl - lookback)
+    return np.where(same, 0.0, -1e30).astype(np.float32)
+
+
+def _mhsa_kernel(x_ref, in_w_ref, in_b_ref, out_w_ref, out_b_ref, bias_ref,
+                 o_ref, *, num_heads: int, length: int,
                  block_seqs: int, lookback: Optional[int]):
     S, L, E = x_ref.shape
     R = S * L
@@ -97,16 +121,10 @@ def _mhsa_kernel(x_ref, in_w_ref, in_b_ref, out_w_ref, out_b_ref, o_ref,
     x = x_ref[...].reshape(R, E)
     in_w = in_w_ref[...]
     out_w = out_w_ref[...]
+    bias = bias_ref[...]
 
     qkv = jnp.dot(x.astype(jnp.bfloat16), in_w.astype(jnp.bfloat16),
                   preferred_element_type=jnp.float32) + in_b_ref[...]
-
-    # Optional banded-causal mask WITHIN a sequence ([L, L], small).
-    band = None
-    if lookback is not None:
-        qpos = jax.lax.broadcasted_iota(jnp.int32, (L, L), 0)
-        kpos = jax.lax.broadcasted_iota(jnp.int32, (L, L), 1)
-        band = (kpos <= qpos) & (kpos >= qpos - lookback)
 
     scale = 1.0 / float(np.sqrt(hd))
     outs = []
@@ -114,25 +132,18 @@ def _mhsa_kernel(x_ref, in_w_ref, in_b_ref, out_w_ref, out_b_ref, o_ref,
         q = qkv[:, h * hd:(h + 1) * hd]
         k = qkv[:, E + h * hd:E + (h + 1) * hd]
         v = qkv[:, 2 * E + h * hd:2 * E + (h + 1) * hd]
-        # One big MXU GEMM for all packed sequences' scores...
+        # One big MXU GEMM for all packed sequences' scores; the additive
+        # bias (block-diagonal + optional band, precomputed on host) makes
+        # cross-sequence entries exp to 0, so the context GEMM runs
+        # directly on the [R, R] probabilities -- no scratch, no per-
+        # sequence softmax loop.
         s = jnp.dot(q.astype(jnp.bfloat16),
                     k.astype(jnp.bfloat16).T,
-                    preferred_element_type=jnp.float32) * scale
-        # ...but softmax only on the valid diagonal [L, L] blocks (the
-        # off-block exp/max/sum would be block_seqs x redundant VPU work).
-        # Probabilities land in a zeroed [R, R] scratch, so the context
-        # GEMM is again one big MXU op (off-blocks contribute zero).
-        p_scratch[...] = jnp.zeros((R, R), jnp.float32)
-        for si in range(S):
-            lo = si * L
-            blk = s[lo:lo + L, lo:lo + L]
-            if band is not None:
-                blk = jnp.where(band, blk, -1e30)
-            blk = blk - jnp.max(blk, axis=-1, keepdims=True)
-            pb = jnp.exp(blk)
-            pb = pb / jnp.sum(pb, axis=-1, keepdims=True)
-            p_scratch[lo:lo + L, lo:lo + L] = pb
-        outs.append(jnp.dot(p_scratch[...].astype(jnp.bfloat16),
+                    preferred_element_type=jnp.float32) * scale + bias
+        s = s - jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s)
+        p = p / jnp.sum(p, axis=-1, keepdims=True)
+        outs.append(jnp.dot(p.astype(jnp.bfloat16),
                             v.astype(jnp.bfloat16),
                             preferred_element_type=jnp.float32))
     ctx = jnp.concatenate(outs, axis=-1)  # [R, E]
@@ -157,6 +168,7 @@ def _fused_mhsa_pallas(x, in_proj_kernel, in_proj_bias, out_proj_kernel,
         block_seqs=block_seqs, lookback=lookback)
 
     R = block_seqs * L
+    bias = jnp.asarray(_block_mask_bias(block_seqs, L, lookback))
     flops_tile = (2 * R * E * 3 * E + num_heads * 2 * R * R * (E // 4) * 2
                   + 2 * R * E * E)
     out = pl.pallas_call(
@@ -172,11 +184,12 @@ def _fused_mhsa_pallas(x, in_proj_kernel, in_proj_bias, out_proj_kernel,
             pl.BlockSpec((E, E), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((E,), lambda i: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, R), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((block_seqs, L, E), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((N + pad, L, E), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((R, R), jnp.float32)],
         cost_estimate=pl.CostEstimate(
             flops=flops_tile * n_tiles,
             bytes_accessed=2 * (N + pad) * L * E * 4,
@@ -184,7 +197,7 @@ def _fused_mhsa_pallas(x, in_proj_kernel, in_proj_bias, out_proj_kernel,
         ),
         interpret=interpret,
     )(x.astype(jnp.float32), in_proj_kernel, in_proj_bias,
-      out_proj_kernel, out_proj_bias)
+      out_proj_kernel, out_proj_bias, bias)
     return out[:N] if pad else out
 
 

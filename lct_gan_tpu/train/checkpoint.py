@@ -28,6 +28,7 @@ __all__ = [
     "save_checkpoint",
     "restore_checkpoint",
     "latest_checkpoint",
+    "read_checkpoint_meta",
     "state_from_torch_checkpoint",
     "load_generator_params",
 ]
@@ -80,12 +81,35 @@ def latest_checkpoint(ckpt_dir: str) -> Optional[str]:
     return p if os.path.isdir(p) else None
 
 
+def read_checkpoint_meta(checkpoint: str) -> Dict[str, Any]:
+    """Return the JSON meta sidecar of an Orbax checkpoint dir ({} if the
+    path is not a dir / has no meta). meta['train_cfg'] carries the
+    training-time TrainConfig -- inference must honor hyperparameters that
+    change behavior without changing param shapes (max_time_context,
+    compress_c), or a banded-causal-trained generator would silently be
+    served with full attention."""
+    meta_path = os.path.join(os.path.abspath(checkpoint), _META)
+    if not os.path.isfile(meta_path):
+        return {}
+    with open(meta_path, "r", encoding="utf-8") as f:
+        return json.load(f)
+
+
 def load_generator_params(checkpoint: str, cfg: TrainConfig):
     """Checkpoint -> generator params. Accepts our Orbax checkpoint dirs
     and reference PyTorch .pt files (infer.py:98-128 equivalent). For .pt
     files only the 'enhancer' entry is needed (discriminators are
     training-only)."""
     if os.path.isdir(checkpoint):
+        # The restore template's pytree structure must match the
+        # training-time one; use_spectral_norm changes it (spectral u/v
+        # buffers), so honor the checkpoint's own record.
+        saved = read_checkpoint_meta(checkpoint).get("train_cfg", {})
+        sn = bool(saved.get("use_spectral_norm", False))
+        if sn != cfg.use_spectral_norm:
+            import dataclasses
+
+            cfg = dataclasses.replace(cfg, use_spectral_norm=sn)
         state, _ = restore_checkpoint(checkpoint, cfg)
         return state.g_params
     from lct_gan_tpu.convert.torch_import import (
@@ -133,4 +157,5 @@ def state_from_torch_checkpoint(path: str, cfg: TrainConfig,
         msd_params=msd_params,
         g_opt_state=g_tx.init(g_params),
         d_opt_state=d_tx.init({"mpd": mpd_params, "msd": msd_params}),
+        spectral=state.spectral,
     )

@@ -94,7 +94,9 @@ def validate(eval_step, g_params, val_ds: ScpDataset, cfg: TrainConfig,
         enhanced, m = eval_step(g_params, padded["noisy"], padded["clean"],
                                 lengths)
         enhanced = np.asarray(enhanced)
-        total_mr += float(m["mrstft"]) * b
+        # Per-sample MR-STFT: count only the b valid rows (padded tail rows
+        # are duplicates and must not bias the mean / best-ckpt selection).
+        total_mr += float(np.asarray(m["mrstft"])[:b].sum())
         si = np.asarray(m["si_sdr"])[:b]
         total_si += float(si.sum())
 
@@ -186,7 +188,11 @@ def run_training(cfg: TrainConfig,
         out_shardings=(repl, repl),
         donate_argnums=(0,),
     )
-    eval_step = jax.jit(make_eval_step(cfg))
+    # Validation runs sharded over the same data axis as training (params
+    # replicated, batch + lengths split); without explicit shardings a
+    # multi-device mesh would run eval replicated on every chip.
+    eval_step = jax.jit(make_eval_step(cfg),
+                        in_shardings=(repl, bsh, bsh, bsh))
 
     start_epoch = 1
     best_val = float("inf")

@@ -46,6 +46,11 @@ class TrainConfig:
     num_heads: int = 4
     gru_groups: int = 4
     max_time_context: Optional[int] = None
+    # Spectral norm on MPD + MSD scale 0 (reference discriminators.py:
+    # 243-248 supports it at module level; its train.py never exposes a
+    # flag). Training with it threads the 'spectral' u/v buffers through
+    # every discriminator forward, torch power-iteration semantics.
+    use_spectral_norm: bool = False
     seed: int = 42
     log_interval: int = 50
     val_interval: int = 50
@@ -57,7 +62,11 @@ class TrainConfig:
 
 
 class GanTrainState(struct.PyTreeNode):
-    """Complete on-device training state (both players + optimizers)."""
+    """Complete on-device training state (both players + optimizers).
+
+    `spectral` holds the discriminators' spectral-norm u/v power-iteration
+    buffers ({"mpd": ..., "msd": ...}) when use_spectral_norm=True; None
+    (an empty pytree) for the default weight-norm configuration."""
 
     step: jax.Array
     g_params: Any
@@ -65,6 +74,7 @@ class GanTrainState(struct.PyTreeNode):
     msd_params: Any
     g_opt_state: Any
     d_opt_state: Any
+    spectral: Any = None
 
 
 def build_models(cfg: TrainConfig):
@@ -76,8 +86,8 @@ def build_models(cfg: TrainConfig):
                                  gru_groups=cfg.gru_groups,
                                  max_time_context=cfg.max_time_context)
     enhancer = LctEnhancer(gen_cfg=gen_cfg, c=cfg.compress_c)
-    mpd = MultiPeriodDiscriminator()
-    msd = MultiScaleDiscriminator()
+    mpd = MultiPeriodDiscriminator(use_spectral_norm=cfg.use_spectral_norm)
+    msd = MultiScaleDiscriminator(use_spectral_norm=cfg.use_spectral_norm)
     return enhancer, mpd, msd
 
 
@@ -110,8 +120,14 @@ def create_state(cfg: TrainConfig, rng: jax.Array) -> GanTrainState:
         rng_g, rng_mpd, rng_msd = jax.random.split(rng, 3)
         wave = jnp.zeros((1, seg), jnp.float32)
         g_params = enhancer.init(rng_g, wave)["params"]
-        mpd_params = mpd.init(rng_mpd, wave)["params"]
-        msd_params = msd.init(rng_msd, wave)["params"]
+        mpd_vars = mpd.init(rng_mpd, wave)
+        msd_vars = msd.init(rng_msd, wave)
+        mpd_params = mpd_vars["params"]
+        msd_params = msd_vars["params"]
+        spectral = None
+        if cfg.use_spectral_norm:
+            spectral = {"mpd": mpd_vars["spectral"],
+                        "msd": msd_vars["spectral"]}
         return GanTrainState(
             step=jnp.zeros((), jnp.int32),
             g_params=g_params,
@@ -119,6 +135,7 @@ def create_state(cfg: TrainConfig, rng: jax.Array) -> GanTrainState:
             msd_params=msd_params,
             g_opt_state=g_tx.init(g_params),
             d_opt_state=d_tx.init({"mpd": mpd_params, "msd": msd_params}),
+            spectral=spectral,
         )
 
     return jax.jit(init)(rng)

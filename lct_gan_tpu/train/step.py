@@ -34,6 +34,7 @@ from lct_gan_tpu.losses import (
     generator_adv_loss,
     mask_mse_loss,
     mr_stft_loss,
+    mr_stft_loss_per_sample,
 )
 from lct_gan_tpu.sigproc import TFFeaturesConfig, compute_tf_features
 from lct_gan_tpu.train.state import (
@@ -62,6 +63,19 @@ def make_train_step(cfg: TrainConfig):
     tf_cfg = TFFeaturesConfig(n_fft=512, c=cfg.compress_c,
                               compress_input=False, return_stfts=False)
 
+    use_sn = cfg.use_spectral_norm
+
+    def apply_disc(model, params, spectral, x):
+        """Discriminator forward with torch spectral-norm semantics: when
+        SN is on, every training-mode forward runs one power iteration on
+        the u/v buffers (torch updates them even under no_grad -- they are
+        buffers, gated by module.training, not by grad mode)."""
+        if not use_sn:
+            return model.apply({"params": params}, x), spectral
+        out, upd = model.apply({"params": params, "spectral": spectral}, x,
+                               mutable=["spectral"])
+        return out, upd["spectral"]
+
     def train_step(state: GanTrainState, noisy: jax.Array,
                    clean: jax.Array) -> Tuple[GanTrainState, Dict[str, Any]]:
         irm_c = compute_tf_features(noisy, clean, tf_cfg)["irm_c"]
@@ -70,36 +84,53 @@ def make_train_step(cfg: TrainConfig):
         fake_for_d, _ = enhancer.apply({"params": state.g_params}, noisy)
         fake_for_d = jax.lax.stop_gradient(fake_for_d)
 
-        def d_loss_fn(d_params):
-            mpd_real, _ = mpd.apply({"params": d_params["mpd"]}, clean)
-            mpd_fake, _ = mpd.apply({"params": d_params["mpd"]}, fake_for_d)
-            msd_real, _ = msd.apply({"params": d_params["msd"]}, clean)
-            msd_fake, _ = msd.apply({"params": d_params["msd"]}, fake_for_d)
-            return discriminator_loss(
+        def d_loss_fn(d_params, spectral):
+            sp_mpd = spectral["mpd"] if use_sn else None
+            sp_msd = spectral["msd"] if use_sn else None
+            # Forward order matches the reference (train.py:184-189);
+            # power-iteration state is sequential across forwards.
+            (mpd_real, _), sp_mpd = apply_disc(
+                mpd, d_params["mpd"], sp_mpd, clean)
+            (mpd_fake, _), sp_mpd = apply_disc(
+                mpd, d_params["mpd"], sp_mpd, fake_for_d)
+            (msd_real, _), sp_msd = apply_disc(
+                msd, d_params["msd"], sp_msd, clean)
+            (msd_fake, _), sp_msd = apply_disc(
+                msd, d_params["msd"], sp_msd, fake_for_d)
+            loss = discriminator_loss(
                 flatten_logits_lists(mpd_real, msd_real),
                 flatten_logits_lists(mpd_fake, msd_fake),
                 loss_type=cfg.gan_loss)
+            new_sp = {"mpd": sp_mpd, "msd": sp_msd} if use_sn else None
+            return loss, new_sp
 
         d_params = {"mpd": state.mpd_params, "msd": state.msd_params}
-        d_loss, d_grads = jax.value_and_grad(d_loss_fn)(d_params)
+        (d_loss, spectral), d_grads = jax.value_and_grad(
+            d_loss_fn, has_aux=True)(d_params, state.spectral)
         d_updates, d_opt_state = d_tx.update(d_grads, state.d_opt_state,
                                              d_params)
         d_params = jax.tree.map(lambda p, u: p + u, d_params, d_updates)
 
         # ---- Generator step against updated D (train.py:204-249) ----
-        def g_loss_fn(g_params):
+        def g_loss_fn(g_params, spectral):
             enhanced, mask_c = enhancer.apply({"params": g_params}, noisy)
             mr_loss, _ = mr_stft_loss(enhanced, clean)
 
             irm_a, pred_a = align_tf_targets(irm_c, mask_c[:, 0])
             m_loss = mask_mse_loss(pred_a, irm_a)
 
-            mpd_fake, mpd_fake_fm = mpd.apply(
-                {"params": d_params["mpd"]}, enhanced)
-            msd_fake, msd_fake_fm = msd.apply(
-                {"params": d_params["msd"]}, enhanced)
-            _, mpd_real_fm = mpd.apply({"params": d_params["mpd"]}, clean)
-            _, msd_real_fm = msd.apply({"params": d_params["msd"]}, clean)
+            sp_mpd = spectral["mpd"] if use_sn else None
+            sp_msd = spectral["msd"] if use_sn else None
+            (mpd_out, sp_mpd_1) = apply_disc(
+                mpd, d_params["mpd"], sp_mpd, enhanced)
+            mpd_fake, mpd_fake_fm = mpd_out
+            (msd_out, sp_msd_1) = apply_disc(
+                msd, d_params["msd"], sp_msd, enhanced)
+            msd_fake, msd_fake_fm = msd_out
+            ((_, mpd_real_fm), sp_mpd_2) = apply_disc(
+                mpd, d_params["mpd"], sp_mpd_1, clean)
+            ((_, msd_real_fm), sp_msd_2) = apply_disc(
+                msd, d_params["msd"], sp_msd_1, clean)
             mpd_real_fm = jax.lax.stop_gradient(mpd_real_fm)
             msd_real_fm = jax.lax.stop_gradient(msd_real_fm)
 
@@ -111,16 +142,18 @@ def make_train_step(cfg: TrainConfig):
             adv_total = adv_loss + cfg.lambda_fm * fm_loss
             g_loss = (mr_loss + cfg.lambda_mask * m_loss +
                       cfg.lambda_adv * adv_total)
+            new_sp = ({"mpd": sp_mpd_2, "msd": sp_msd_2} if use_sn
+                      else None)
             aux = {
                 "mr_loss": mr_loss,
                 "mask_loss": m_loss,
                 "adv_loss": adv_loss,
                 "fm_loss": fm_loss,
             }
-            return g_loss, aux
+            return g_loss, (aux, new_sp)
 
-        (g_loss, aux), g_grads = jax.value_and_grad(
-            g_loss_fn, has_aux=True)(state.g_params)
+        (g_loss, (aux, spectral)), g_grads = jax.value_and_grad(
+            g_loss_fn, has_aux=True)(state.g_params, spectral)
         g_updates, g_opt_state = g_tx.update(g_grads, state.g_opt_state,
                                              state.g_params)
         g_params = jax.tree.map(lambda p, u: p + u, state.g_params, g_updates)
@@ -132,6 +165,7 @@ def make_train_step(cfg: TrainConfig):
             msd_params=d_params["msd"],
             g_opt_state=g_opt_state,
             d_opt_state=d_opt_state,
+            spectral=jax.lax.stop_gradient(spectral) if use_sn else None,
         )
         metrics = {"d_loss": d_loss, "g_loss": g_loss, **aux}
         return new_state, metrics
@@ -141,13 +175,17 @@ def make_train_step(cfg: TrainConfig):
 
 def make_eval_step(cfg: TrainConfig):
     """Build the jitted eval step: (g_params, noisy, clean, lengths) ->
-    (enhanced, {mrstft, si_sdr_sum}) with length-masked SI-SDR
-    (reference: train.py:285-385 computes these per utterance on device)."""
+    (enhanced, {mrstft [B], si_sdr [B]}) with length-masked SI-SDR
+    (reference: train.py:285-385 computes these per utterance on device).
+
+    MR-STFT is PER-SAMPLE so the caller can exclude padded tail-batch rows
+    from the validation mean (the scalar mean would over-weight the
+    repeated pad rows and bias best-checkpoint selection)."""
     enhancer, _, _ = build_models(cfg)
 
     def eval_step(g_params, noisy, clean, lengths):
         enhanced, _ = enhancer.apply({"params": g_params}, noisy)
-        mr, _ = mr_stft_loss(enhanced, clean)
+        mr = mr_stft_loss_per_sample(enhanced, clean)
         si = _masked_si_sdr(clean, enhanced, lengths)
         return enhanced, {"mrstft": mr, "si_sdr": si}
 

@@ -35,7 +35,12 @@ def main():
     import numpy as np
 
     from lct_gan_tpu.data import read_scp
-    from lct_gan_tpu.metrics import compute_metrics_for_pair
+    from lct_gan_tpu.metrics import compute_metrics_for_pair, pesq_available
+
+    if not args.no_pesq and not pesq_available():
+        print("NOTICE: `pesq` wheel unavailable -- PESQ slots will be NaN. "
+              "Acceptance falls back to SI-SDR/STOI/fwSegSNR "
+              "(see BASELINE.md, PESQ-unavailable acceptance procedure).")
 
     scp = args.test_scp
     if not os.path.isabs(scp):

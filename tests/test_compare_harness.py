@@ -18,6 +18,22 @@ pytestmark = pytest.mark.skipif(
     not reference_available(), reason="reference repo not mounted")
 
 
+def test_deepfilternet_system_gated_with_clear_error():
+    """Without the `df` package, the DFN comparison must fail fast at
+    construction with install instructions (BASELINE gap item; the system
+    itself is exercised only where the package exists)."""
+    from lct_gan_tpu.eval import make_deepfilternet_system
+
+    try:
+        import df.enhance  # noqa: F401
+
+        pytest.skip("df package present; gate not in effect")
+    except ImportError:
+        pass
+    with pytest.raises(ImportError, match="deepfilternet"):
+        make_deepfilternet_system()
+
+
 def test_plot_spec(tmp_path):
     rng = np.random.default_rng(0)
     x = (rng.standard_normal(8000) * 0.1).astype(np.float32)

@@ -109,6 +109,39 @@ def test_batch_iterator_fixed_shape(tmp_path):
         assert b["noisy"].shape == (2, 8000)
 
 
+def test_crops_are_resume_stable(tmp_path):
+    """Segment crops are keyed on (seed, epoch, index): re-iterating an
+    epoch after 'resume' (a fresh dataset object) reproduces the exact
+    same batches as the uninterrupted run."""
+    root = str(tmp_path)
+    _make_dataset_tree(root)
+
+    def run_epochs(epochs):
+        ds = ScpDataset(root, "train.scp", "train", sample_rate=16000,
+                        segment_length=8000, random_segment=True, seed=7)
+        out = []
+        for ep in epochs:
+            out.append([
+                (b["noisy"].copy(), b["clean"].copy())
+                for b in batch_iterator(ds, 2, shuffle=True, drop_last=True,
+                                        pad_to_segment=True, seed=7,
+                                        epoch=ep)
+            ])
+        return out
+
+    uninterrupted = run_epochs([1, 2])
+    resumed = run_epochs([2])  # fresh object jumping straight to epoch 2
+    for (a_n, a_c), (b_n, b_c) in zip(uninterrupted[1], resumed[0]):
+        np.testing.assert_array_equal(a_n, b_n)
+        np.testing.assert_array_equal(a_c, b_c)
+
+    # And different epochs draw different crops.
+    same = all(
+        np.array_equal(a[0], b[0])
+        for a, b in zip(uninterrupted[0], uninterrupted[1]))
+    assert not same
+
+
 def test_bucket_length_monotone():
     lens = [1000, 20000, 33000, 50000, 100000, 200000]
     for n in lens:

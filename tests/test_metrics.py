@@ -100,5 +100,80 @@ def test_compute_metrics_for_pair(tmp_path):
     m = compute_metrics_for_pair(cp, ep, sr)
     assert m["si_sdr"] > 15
     assert m["stoi"] > 0.9
+    assert np.isfinite(m["fwsegsnr"])
     # PESQ gated: NaN when the wheel is absent (reference behavior)
     assert pesq_available() or math.isnan(m["pesq_wb"])
+
+
+def test_fwsegsnr_identity_hits_clip_ceiling():
+    from lct_gan_tpu.metrics import fwsegsnr
+
+    sr = 16000
+    x = _speechlike(sr, sr, seed=7)
+    assert fwsegsnr(x, x, sr) == 35.0  # per-frame clip max, exact
+
+
+def test_fwsegsnr_monotone_in_noise():
+    from lct_gan_tpu.metrics import fwsegsnr
+
+    sr = 16000
+    x = _speechlike(sr, sr, seed=8) * 0.1
+    rng = np.random.default_rng(9)
+    noise = rng.standard_normal(len(x))
+    scores = [fwsegsnr(x, x + lvl * noise, sr)
+              for lvl in (0.001, 0.01, 0.05)]
+    assert scores[0] > scores[1] > scores[2]
+    assert all(-10.0 <= s <= 35.0 for s in scores)
+
+
+def test_fwsegsnr_matches_manual_computation():
+    """Spot-check the vectorized implementation against a straightforward
+    per-frame NumPy transcription of the Hu & Loizou formula."""
+    from lct_gan_tpu.metrics.fwsegsnr import (
+        _GAMMA,
+        _mel_filterbank,
+        fwsegsnr,
+    )
+
+    sr = 8000
+    rng = np.random.default_rng(10)
+    x = rng.standard_normal(sr).astype(np.float64) * 0.1
+    y = x + rng.standard_normal(sr) * 0.01
+
+    frame = int(0.030 * sr)
+    hop = frame // 4
+    n_fft = 1 << (frame - 1).bit_length()
+    win = np.hanning(frame)
+    fb = _mel_filterbank(n_fft, sr, 25)
+
+    vals = []
+    for start in range(0, len(x) - frame + 1, hop):
+        X = np.abs(np.fft.rfft(x[start:start + frame] * win, n_fft))
+        Y = np.abs(np.fft.rfft(y[start:start + frame] * win, n_fft))
+        Xb, Yb = fb @ X, fb @ Y
+        w = np.maximum(Xb, 1e-12) ** _GAMMA
+        snr = 10 * np.log10(Xb ** 2 / np.maximum((Xb - Yb) ** 2, 1e-12))
+        vals.append(np.clip((w * snr).sum() / w.sum(), -10, 35))
+    np.testing.assert_allclose(fwsegsnr(x, y, sr), np.mean(vals), rtol=1e-9)
+
+
+def test_pesq_unavailable_waiver():
+    """The formal PESQ-unavailable acceptance path (BASELINE.md): when the
+    wheel is absent, pesq_score is NaN (never a silent 0) and every
+    fallback metric is computable natively."""
+    import math as _math
+
+    from lct_gan_tpu.metrics import fwsegsnr, pesq_score, si_sdr, stoi
+
+    sr = 16000
+    x = _speechlike(sr * 2, sr, seed=11) * 0.1
+    if pesq_available():  # pragma: no cover - not this image
+        import pytest
+
+        pytest.skip("pesq wheel present; waiver path not in effect")
+    v = pesq_score(x, x, sr, "wb")
+    assert _math.isnan(v)
+    # Fallback gate metrics all computable and sane on identical signals.
+    assert si_sdr(x, x) > 50
+    assert stoi(x, x, sr) > 0.99
+    assert fwsegsnr(x, x, sr) == 35.0

@@ -51,6 +51,46 @@ def test_fused_mhsa_banded_causal():
                                rtol=2e-2, atol=2e-2)
 
 
+def test_enhancer_pallas_path_under_sharded_mesh(monkeypatch):
+    """The production Pallas dispatch (via LCT_PALLAS_INTERPRET) must run
+    and agree with the jnp path when the enhancer batch is SHARDED over the
+    8-device mesh -- the real v5e-8 data-parallel serving configuration.
+    Catches resharding/miscompute of pallas_call under a sharded batch
+    axis (round-1 untested gap, docs/STATUS.md)."""
+    from lct_gan_tpu.parallel import (
+        batch_sharding,
+        make_mesh,
+        replicated_sharding,
+    )
+    from lct_gan_tpu.train import TrainConfig, build_models
+
+    assert jax.device_count() >= 8
+    mesh = make_mesh()
+    cfg = TrainConfig(segment_seconds=0.25)
+    enhancer, _, _ = build_models(cfg)
+    wave = jax.random.normal(
+        jax.random.PRNGKey(0), (8, cfg.segment_length), jnp.float32) * 0.1
+
+    monkeypatch.setenv("LCT_NO_PALLAS", "1")
+    params = enhancer.init(jax.random.PRNGKey(1), wave)["params"]
+    ref, _ = jax.jit(
+        lambda p, x: enhancer.apply({"params": p}, x))(params, wave)
+
+    monkeypatch.delenv("LCT_NO_PALLAS")
+    monkeypatch.setenv("LCT_PALLAS_INTERPRET", "1")
+    repl = replicated_sharding(mesh)
+    bsh = batch_sharding(mesh)
+    out, _ = jax.jit(
+        lambda p, x: enhancer.apply({"params": p}, x),
+        in_shardings=(repl, bsh))(
+            jax.device_put(params, repl), jax.device_put(wave, bsh))
+
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-2, atol=2e-3)
+    a, b = np.asarray(out).ravel(), np.asarray(ref).ravel()
+    assert np.corrcoef(a, b)[0, 1] > 0.999
+
+
 def test_fused_mhsa_no_cross_sequence_leak():
     """Padding/packing must not let sequences attend to one another."""
     key = jax.random.PRNGKey(0)

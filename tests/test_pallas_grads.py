@@ -59,44 +59,22 @@ def test_gru_grads_match_reference(bidirectional):
         assert np.corrcoef(a.ravel(), b.ravel())[0, 1] > 0.999
 
 
-def test_generator_is_differentiable_with_pallas_forced():
+def test_generator_is_differentiable_with_pallas_forced(monkeypatch):
     """The full generator must produce grads with the Pallas attention
     active (this is the TPU training path; a kernel without a VJP would
-    crash the train step)."""
-    from lct_gan_tpu.models import LCTGeneratorConfig
+    crash the train step). LCT_PALLAS_INTERPRET drives the exact
+    production dispatch in models/attention.py, interpreted on CPU."""
     from lct_gan_tpu.models.generator import FreqGRUBlock
 
-    # Force pallas inside the attention of one block (interpret on CPU).
-    import lct_gan_tpu.models.attention as attn_mod
+    monkeypatch.setenv("LCT_PALLAS_INTERPRET", "1")
 
-    orig = attn_mod._pallas_ok
-    attn_mod._pallas_ok = lambda: True
-    try:
-        import lct_gan_tpu.ops.attention as ops_attn
+    block = FreqGRUBlock()
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 3, 16, 64))
+    params = block.init(jax.random.PRNGKey(1), x)["params"]
 
-        orig_fused = ops_attn.fused_mhsa
+    def loss(p):
+        return jnp.sum(jnp.square(block.apply({"params": p}, x)))
 
-        def fused_interpret(*a, **kw):
-            kw["interpret"] = True
-            return orig_fused(*a, **kw)
-
-        attn_mod.fused_mhsa_override = None
-        # Patch the symbol the module resolves at call time.
-        ops_attn_fused = ops_attn.fused_mhsa
-        ops_attn.fused_mhsa = fused_interpret
-        try:
-            block = FreqGRUBlock()
-            x = jax.random.normal(jax.random.PRNGKey(0), (1, 3, 16, 64))
-            params = block.init(jax.random.PRNGKey(1), x)["params"]
-
-            def loss(p):
-                return jnp.sum(jnp.square(
-                    block.apply({"params": p}, x)))
-
-            grads = jax.grad(loss)(params)
-            assert all(np.all(np.isfinite(np.asarray(g)))
-                       for g in jax.tree.leaves(grads))
-        finally:
-            ops_attn.fused_mhsa = ops_attn_fused
-    finally:
-        attn_mod._pallas_ok = orig
+    grads = jax.grad(loss)(params)
+    assert all(np.all(np.isfinite(np.asarray(g)))
+               for g in jax.tree.leaves(grads))

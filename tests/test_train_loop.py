@@ -88,3 +88,33 @@ def test_run_training_and_resume(tmp_path):
         compute_pesq=False, compute_stoi=False)
     assert out2["run_dir"] == run_dir
     assert os.path.isdir(os.path.join(run_dir, "ckpts", "epoch_0002"))
+
+
+@pytest.mark.slow
+def test_validation_invariant_to_tail_batch_padding(tmp_path):
+    """val metrics must be identical whether or not the val-set size is a
+    multiple of the batch size (padded tail rows are excluded from the
+    mean -- round-1 bias, VERDICT item 5)."""
+    from lct_gan_tpu.data import ScpDataset
+    from lct_gan_tpu.train.loop import validate
+    from lct_gan_tpu.train.step import make_eval_step
+
+    root = str(tmp_path / "data")
+    os.makedirs(root)
+    _make_tree(root, n_train=2, n_test=3, sr=16000)
+
+    cfg = TrainConfig(segment_seconds=0.25, batch_size=8)
+    state = create_state(cfg, jax.random.PRNGKey(0))
+    val_ds = ScpDataset(root, "test.scp", "test", sample_rate=16000,
+                        segment_length=None, random_segment=False)
+    eval_step = jax.jit(make_eval_step(cfg))
+
+    # 3 utterances: batch_size=3 (exact) vs batch_size=8 (5 pad rows).
+    exact = validate(eval_step, state.g_params, val_ds, cfg, 3,
+                     compute_pesq=False, compute_stoi=False)
+    padded = validate(eval_step, state.g_params, val_ds, cfg, 8,
+                      compute_pesq=False, compute_stoi=False)
+    np.testing.assert_allclose(padded["val_mrstft"], exact["val_mrstft"],
+                               rtol=1e-5)
+    np.testing.assert_allclose(padded["val_si_sdr"], exact["val_si_sdr"],
+                               rtol=1e-5)

@@ -1,0 +1,88 @@
+#!/usr/bin/env python
+"""Measure the REFERENCE PyTorch LCTEnhancer's enhancement throughput on
+CPU in this container -- the `vs_baseline` denominator used by bench.py.
+
+Imports the reference implementation from /root/reference (read-only
+mount) and times eval-mode forward passes of random 2 s @ 16 kHz batches,
+reporting enhanced-audio seconds per wall second, same metric as bench.py.
+
+Usage:
+    python tools/bench_reference_torch.py [--batch 8] [--iters 3]
+        [--seconds 2.0] [--reference /root/reference]
+
+Prints one JSON line:
+    {"metric": "reference_torch_cpu_throughput", "value": ..., "unit":
+     "audio-sec/sec", ...}
+"""
+
+import argparse
+import json
+import sys
+import time
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--reference", default="/root/reference")
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--iters", type=int, default=3)
+    ap.add_argument("--seconds", type=float, default=2.0)
+    ap.add_argument("--sample_rate", type=int, default=16000)
+    ap.add_argument("--threads", type=int, default=0,
+                    help="torch.set_num_threads (0 = torch default)")
+    args = ap.parse_args()
+
+    sys.path.insert(0, args.reference)
+    import torch  # noqa: E402  (CPU-only in this image)
+
+    # torchaudio is absent in this image; the reference's datasets package
+    # imports it at module scope (datasets/datasets.py:6) and gets pulled
+    # in transitively by models.generator -> datasets.stft. Stub it -- the
+    # forward pass never touches audio I/O.
+    import types  # noqa: E402
+
+    ta = types.ModuleType("torchaudio")
+    ta.functional = types.ModuleType("torchaudio.functional")
+    ta.__path__ = []  # mark as package so submodule imports resolve
+    sys.modules.setdefault("torchaudio", ta)
+    sys.modules.setdefault("torchaudio.functional", ta.functional)
+
+    # reference generator.py:635 / :19
+    from models.generator import LCTEnhancer, LCTGeneratorConfig
+
+    if args.threads:
+        torch.set_num_threads(args.threads)
+
+    model = LCTEnhancer(LCTGeneratorConfig())
+    model.eval()
+
+    T = int(args.seconds * args.sample_rate)
+    torch.manual_seed(0)
+    wave = torch.randn(args.batch, T) * 0.1
+
+    with torch.no_grad():
+        model(wave)  # warmup (allocator, thread pool)
+        t0 = time.perf_counter()
+        for _ in range(args.iters):
+            out = model(wave)
+        dt = time.perf_counter() - t0
+    # LCTEnhancer.forward returns (enhanced, mask); touch it for safety.
+    _ = out[0].sum().item() if isinstance(out, tuple) else out.sum().item()
+
+    audio_sec = args.iters * args.batch * args.seconds
+    thr = audio_sec / dt
+    print(json.dumps({
+        "metric": "reference_torch_cpu_throughput",
+        "value": round(thr, 3),
+        "unit": "audio-sec/sec",
+        "batch": args.batch,
+        "iters": args.iters,
+        "seconds_per_utt": args.seconds,
+        "torch": torch.__version__,
+        "threads": torch.get_num_threads(),
+        "wall_sec": round(dt, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

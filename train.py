@@ -54,6 +54,11 @@ def parse_args():
                         help="Banded-causal time-attention lookback in "
                              "frames (None = full attention, matching the "
                              "reference's trained behavior).")
+    parser.add_argument("--use_spectral_norm", action="store_true",
+                        help="Spectral norm on MPD + MSD scale 0 (the "
+                             "reference supports this at module level, "
+                             "discriminators.py:243-248, but never exposed "
+                             "a flag).")
     parser.add_argument("--seed", type=int, default=42)
     parser.add_argument("--log_interval", type=int, default=50)
 
@@ -103,6 +108,7 @@ def main():
         num_heads=args.num_heads,
         gru_groups=args.gru_groups,
         max_time_context=args.max_time_context,
+        use_spectral_norm=args.use_spectral_norm,
         seed=args.seed,
         log_interval=args.log_interval,
         val_interval=args.val_interval,
