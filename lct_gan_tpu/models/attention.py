@@ -40,19 +40,10 @@ MAX_PALLAS_SEQ = 1024
 
 
 def _pallas_mode() -> Optional[str]:
-    """None = jnp path; 'compiled' = fused TPU kernel; 'interpret' = fused
-    kernel in interpreter mode (set LCT_PALLAS_INTERPRET=1 -- lets CPU-mesh
-    tests exercise the exact production dispatch path, sharding included)."""
-    import os
+    """Shared dispatch policy -- see lct_gan_tpu/ops/dispatch.py."""
+    from lct_gan_tpu.ops.dispatch import pallas_mode
 
-    if os.environ.get("LCT_NO_PALLAS"):
-        return None
-    if os.environ.get("LCT_PALLAS_INTERPRET"):
-        return "interpret"
-    try:
-        return "compiled" if jax.default_backend() == "tpu" else None
-    except Exception:
-        return None
+    return pallas_mode()
 
 
 class MultiHeadSelfAttention(nn.Module):
@@ -75,15 +66,16 @@ class MultiHeadSelfAttention(nn.Module):
 
     @nn.compact
     def __call__(self,
-                 x: jax.Array,
+                 x: Optional[jax.Array] = None,
                  mask: Optional[jax.Array] = None,
-                 lookback: Optional[int] = None) -> jax.Array:
+                 lookback: Optional[int] = None, *,
+                 return_params: bool = False):
         """x: [B, S, E]; mask: optional [S, S] bool (True = attend);
-        lookback: optional banded-causal window (overrides mask)."""
-        B, S, E = x.shape
-        if E != self.embed_dim:
-            raise ValueError(f"Expected embed dim {self.embed_dim}, got {E}")
+        lookback: optional banded-causal window (overrides mask).
+        return_params=True hands the raw param arrays to the caller (for
+        the fused FTF-block kernel, ops/ftf.py) without computing."""
         nh = self.num_heads
+        E = self.embed_dim
         hd = E // nh
 
         # torch initializes in_proj with xavier_uniform, out_proj kaiming-ish;
@@ -94,6 +86,13 @@ class MultiHeadSelfAttention(nn.Module):
         out_kernel = self.param("out_proj_kernel",
                                 nn.initializers.xavier_uniform(), (E, E))
         out_bias = self.param("out_proj_bias", nn.initializers.zeros, (E,))
+
+        if return_params:
+            return in_kernel, in_bias, out_kernel, out_bias
+
+        B, S, E = x.shape
+        if E != self.embed_dim:
+            raise ValueError(f"Expected embed dim {self.embed_dim}, got {E}")
 
         mode = _pallas_mode()
         use_pallas = self.use_pallas

@@ -14,7 +14,7 @@ TPU-first notes:
 
 from __future__ import annotations
 
-from typing import List, Sequence, Tuple, Type
+from typing import Any, List, Sequence, Tuple, Type
 
 import jax
 import jax.numpy as jnp
@@ -48,6 +48,7 @@ class PeriodDiscriminator(nn.Module):
 
     period: int
     use_spectral_norm: bool = False
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array) -> Tuple[jax.Array, List[jax.Array]]:
@@ -77,12 +78,14 @@ class PeriodDiscriminator(nn.Module):
                 strides=(s, 1),
                 padding=(k // 2, 0),
                 groups=g,
+                dtype=self.dtype,
                 name=f"conv{i}")(h)
             h = _leaky(h)
-            fmaps.append(h)
+            fmaps.append(h.astype(jnp.float32))
         h = conv_cls(
             features=1, kernel_size=(3, 1), strides=(1, 1), padding=(1, 0),
-            name="conv_post")(h)
+            dtype=self.dtype, name="conv_post")(h)
+        h = h.astype(jnp.float32)
         fmaps.append(h)
         return h, fmaps
 
@@ -93,6 +96,7 @@ class MultiPeriodDiscriminator(nn.Module):
 
     periods: Sequence[int] = (2, 3, 5, 7, 11)
     use_spectral_norm: bool = False
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(
@@ -103,6 +107,7 @@ class MultiPeriodDiscriminator(nn.Module):
             logits, fmaps = PeriodDiscriminator(
                 period=p,
                 use_spectral_norm=self.use_spectral_norm,
+                dtype=self.dtype,
                 name=f"disc_p{p}")(x)
             logits_list.append(logits)
             fmaps_list.append(fmaps)
@@ -132,6 +137,7 @@ class ScaleDiscriminator(nn.Module):
     (reference: models/discriminators.py:150-224)."""
 
     use_spectral_norm: bool = False
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array) -> Tuple[jax.Array, List[jax.Array]]:
@@ -151,11 +157,13 @@ class ScaleDiscriminator(nn.Module):
         for i, (out_ch, k, s, g) in enumerate(cfgs):
             h = conv_cls(
                 features=out_ch, kernel_size=(k,), strides=(s,),
-                padding=(k // 2,), groups=g, name=f"conv{i}")(h)
+                padding=(k // 2,), groups=g, dtype=self.dtype,
+                name=f"conv{i}")(h)
             h = _leaky(h)
-            fmaps.append(h)
+            fmaps.append(h.astype(jnp.float32))
         h = conv_cls(features=1, kernel_size=(3,), strides=(1,),
-                     padding=(1,), name="conv_post")(h)
+                     padding=(1,), dtype=self.dtype, name="conv_post")(h)
+        h = h.astype(jnp.float32)
         fmaps.append(h)
         return h, fmaps
 
@@ -167,6 +175,7 @@ class MultiScaleDiscriminator(nn.Module):
 
     num_scales: int = 3
     use_spectral_norm: bool = False
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(
@@ -179,6 +188,7 @@ class MultiScaleDiscriminator(nn.Module):
         for i in range(self.num_scales):
             logits, fmaps = ScaleDiscriminator(
                 use_spectral_norm=(self.use_spectral_norm and i == 0),
+                dtype=self.dtype,
                 name=f"disc_s{i}")(h)
             logits_list.append(logits)
             fmaps_list.append(fmaps)

@@ -28,6 +28,7 @@ from flax import linen as nn
 
 from lct_gan_tpu.models.attention import MultiHeadSelfAttention
 from lct_gan_tpu.models.gru import GroupedGRU
+from lct_gan_tpu.models.layers import Dense, LayerNorm
 from lct_gan_tpu.sigproc import (
     STFTConfig,
     apply_mask,
@@ -66,6 +67,35 @@ class LCTGeneratorConfig:
 
 def _leaky(x: jax.Array) -> jax.Array:
     return nn.leaky_relu(x, negative_slope=0.2)
+
+
+def _fused_ftf_dispatch(seq: jax.Array, ln1, gru, ln2, attn, lin, *,
+                        bidirectional: bool, num_heads: int,
+                        lookback: Optional[int]):
+    """Route a whole FTF block through the fused Pallas kernel
+    (lct_gan_tpu/ops/ftf.py) when the dispatch policy allows; returns None
+    to take the composed jnp path. Collecting params via return_params
+    keeps the parameter tree identical on both paths."""
+    from lct_gan_tpu.ops.dispatch import pallas_mode
+    from lct_gan_tpu.ops.ftf import MAX_FTF_SEQ, fused_ftf_block
+
+    mode = pallas_mode()
+    N, L, C = seq.shape
+    if mode is None or L > MAX_FTF_SEQ:
+        return None
+
+    ln1_s, ln1_b = ln1(seq, return_params=True)
+    w_ih, w_hh, b_ih, b_hh = gru(return_params=True)
+    ln2_s, ln2_b = ln2(seq, return_params=True)
+    in_w, in_b, out_w, out_b = attn(return_params=True)
+    lin_in = 2 * C if bidirectional else C  # freq concats (gru, attn)
+    lin_w, lin_b = lin(jnp.zeros((1, lin_in), seq.dtype), return_params=True)
+
+    return fused_ftf_block(
+        seq, ln1_s, ln1_b, w_ih, w_hh, b_ih, b_hh, ln2_s, ln2_b,
+        in_w, in_b, out_w, out_b, lin_w, lin_b,
+        bidirectional=bidirectional, num_heads=num_heads, lookback=lookback,
+        interpret=(mode == "interpret"))
 
 
 class TorchConvTranspose(nn.Module):
@@ -124,22 +154,31 @@ class FreqGRUBlock(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         B, T, F, C = x.shape
+        ln1 = LayerNorm(name="layernorm1")
+        gru = GroupedGRU(groups=self.groups, hidden_size=C // self.groups,
+                         bidirectional=True, name="gru")
+        ln2 = LayerNorm(name="layernorm2")
+        attn = MultiHeadSelfAttention(embed_dim=C, num_heads=self.num_heads,
+                                      name="attn")
+        lin = Dense(C, name="lin")
+
         seq = x.reshape(B * T, F, C)
 
-        seq_norm = nn.LayerNorm(name="layernorm1")(seq)
-        seq_gru = GroupedGRU(
-            groups=self.groups,
-            hidden_size=C // self.groups,
-            bidirectional=True,
-            name="gru")(seq_norm)
+        fused = _fused_ftf_dispatch(
+            seq, ln1, gru, ln2, attn, lin, bidirectional=True,
+            num_heads=self.num_heads, lookback=None)
+        if fused is not None:
+            return fused.reshape(B, T, F, C)
+
+        seq_norm = ln1(seq)
+        seq_gru = gru(seq_norm)
         seq = seq + seq_gru
 
-        seq_norm2 = nn.LayerNorm(name="layernorm2")(seq)
-        attn_out = MultiHeadSelfAttention(
-            embed_dim=C, num_heads=self.num_heads, name="attn")(seq_norm2)
+        seq_norm2 = ln2(seq)
+        attn_out = attn(seq_norm2)
 
         combined = jnp.concatenate([seq_gru, attn_out], axis=-1)
-        combined = nn.Dense(C, name="lin")(combined)
+        combined = lin(combined)
         combined = _leaky(combined)
         seq = seq + combined
         return seq.reshape(B, T, F, C)
@@ -164,22 +203,30 @@ class TimeGRUBlock(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         B, T, F, C = x.shape
+        ln1 = LayerNorm(name="layernorm1")
+        gru = GroupedGRU(groups=self.groups, hidden_size=C // self.groups,
+                         bidirectional=False, name="gru")
+        ln2 = LayerNorm(name="layernorm2")
+        attn = MultiHeadSelfAttention(embed_dim=C, num_heads=self.num_heads,
+                                      name="attn")
+        lin = Dense(C, name="lin")
+
         seq = x.transpose(0, 2, 1, 3).reshape(B * F, T, C)
 
-        seq_norm = nn.LayerNorm(name="layernorm1")(seq)
-        seq_gru = GroupedGRU(
-            groups=self.groups,
-            hidden_size=C // self.groups,
-            bidirectional=False,
-            name="gru")(seq_norm)
+        fused = _fused_ftf_dispatch(
+            seq, ln1, gru, ln2, attn, lin, bidirectional=False,
+            num_heads=self.num_heads, lookback=self.max_time_context)
+        if fused is not None:
+            return fused.reshape(B, F, T, C).transpose(0, 2, 1, 3)
+
+        seq_norm = ln1(seq)
+        seq_gru = gru(seq_norm)
         seq = seq + seq_gru
 
-        seq_norm2 = nn.LayerNorm(name="layernorm2")(seq)
-        attn_out = MultiHeadSelfAttention(
-            embed_dim=C, num_heads=self.num_heads, name="attn")(
-                seq_norm2, lookback=self.max_time_context)
+        seq_norm2 = ln2(seq)
+        attn_out = attn(seq_norm2, lookback=self.max_time_context)
 
-        combined = nn.Dense(C, name="lin")(attn_out)
+        combined = lin(attn_out)
         combined = _leaky(combined)
         seq = seq + combined
         return seq.reshape(B, F, T, C).transpose(0, 2, 1, 3)

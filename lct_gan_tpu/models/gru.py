@@ -64,17 +64,6 @@ def _gru_scan(x_proj: jax.Array, w_hh: jax.Array, b_hh: jax.Array,
     return ys
 
 
-def _pallas_ok() -> bool:
-    import os
-
-    if os.environ.get("LCT_NO_PALLAS"):
-        return False
-    try:
-        return jax.default_backend() == "tpu"
-    except Exception:
-        return False
-
-
 class GroupedGRU(nn.Module):
     """G parallel GRUs over channel groups, fused into one scan.
 
@@ -83,25 +72,20 @@ class GroupedGRU(nn.Module):
     Output: [B, S, G*H]; for bidirectional, forward and backward hidden
             states are SUMMED per group (reference: models/generator.py:105-107).
 
-    A fused Pallas kernel exists (lct_gan_tpu/ops/gru.py: VMEM-resident
-    carry, dense block-diagonal gate GEMMs) but measured only ~1.1x /
-    0.8x vs XLA's scan at our shapes on v5e, so it is OFF by default
-    (use_pallas=True opts in). The lax.scan path below is the reference
-    implementation.
+    On TPU this module's compute almost always runs inside the fused
+    FTF-block Pallas kernel (ops/ftf.py), which consumes the raw params
+    via return_params=True. The lax.scan path below is the reference
+    implementation and serves CPU/GPU and the long-sequence fallback.
     """
 
     groups: int = 4
     hidden_size: int = 16
     bidirectional: bool = False
-    use_pallas: Optional[bool] = None
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
-        B, S, C = x.shape
+    def __call__(self, x: Optional[jax.Array] = None, *,
+                 return_params: bool = False):
         G, H = self.groups, self.hidden_size
-        if C != G * H:
-            raise ValueError(f"Expected {G * H} channels, got {C}")
-
         directions = 2 if self.bidirectional else 1
 
         def init_uniform(key, shape, dtype=jnp.float32):
@@ -114,14 +98,14 @@ class GroupedGRU(nn.Module):
         b_ih = self.param("b_ih", init_uniform, (directions, G, 3 * H))
         b_hh = self.param("b_hh", init_uniform, (directions, G, 3 * H))
 
-        use_pallas = self.use_pallas
-        if use_pallas is None:
-            use_pallas = False  # XLA scan wins at these shapes; see class doc
-        if use_pallas:
-            from lct_gan_tpu.ops.gru import fused_grouped_gru
+        if return_params:
+            # For the fused FTF-block kernel (ops/ftf.py), which consumes
+            # the raw GRU params instead of calling this module.
+            return w_ih, w_hh, b_ih, b_hh
 
-            return fused_grouped_gru(x, w_ih, w_hh, b_ih, b_hh,
-                                     bidirectional=self.bidirectional)
+        B, S, C = x.shape
+        if C != G * H:
+            raise ValueError(f"Expected {G * H} channels, got {C}")
 
         xg = x.reshape(B, S, G, H).transpose(1, 0, 2, 3)  # [S, B, G, H]
         h0 = jnp.zeros((B, G, H), dtype=x.dtype)

@@ -14,7 +14,7 @@ torch.nn.utils.spectral_norm defaults (n_power_iterations=1, eps=1e-12).
 
 from __future__ import annotations
 
-from typing import Sequence, Tuple
+from typing import Any, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -25,7 +25,11 @@ __all__ = ["WNConv", "SNConv"]
 
 def _conv(x: jax.Array, kernel: jax.Array, bias: jax.Array,
           strides: Sequence[int], padding: Sequence[Tuple[int, int]],
-          groups: int) -> jax.Array:
+          groups: int, dtype: Any = jnp.float32) -> jax.Array:
+    """Conv with optional reduced-precision compute: inputs/kernel are cast
+    to `dtype` (params stay f32 at rest; the MXU accumulates f32 for bf16
+    inputs regardless), the output stays in `dtype` so successive
+    discriminator layers also halve their HBM traffic."""
     ndim_sp = kernel.ndim - 2
     if ndim_sp == 1:
         dn = ("NWC", "WIO", "NWC")
@@ -34,13 +38,14 @@ def _conv(x: jax.Array, kernel: jax.Array, bias: jax.Array,
     else:
         raise ValueError(f"Unsupported spatial rank {ndim_sp}")
     y = jax.lax.conv_general_dilated(
-        x, kernel,
+        x.astype(dtype), kernel.astype(dtype),
         window_strides=tuple(strides),
         padding=tuple(padding),
         dimension_numbers=dn,
         feature_group_count=groups,
+        preferred_element_type=dtype,
     )
-    return y + bias
+    return y + bias.astype(dtype)
 
 
 class WNConv(nn.Module):
@@ -51,6 +56,7 @@ class WNConv(nn.Module):
     strides: Tuple[int, ...]
     padding: Tuple[int, ...]
     groups: int = 1
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -74,7 +80,8 @@ class WNConv(nn.Module):
         norm = jnp.sqrt(jnp.sum(jnp.square(v), axis=axes, keepdims=True))
         kernel = v * (g / jnp.maximum(norm, 1e-12))
         pads = tuple((p, p) for p in self.padding)
-        return _conv(x, kernel, bias, self.strides, pads, self.groups)
+        return _conv(x, kernel, bias, self.strides, pads, self.groups,
+                     self.dtype)
 
 
 class SNConv(nn.Module):
@@ -94,6 +101,7 @@ class SNConv(nn.Module):
     strides: Tuple[int, ...]
     padding: Tuple[int, ...]
     groups: int = 1
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -138,4 +146,5 @@ class SNConv(nn.Module):
         # first power iterations converge); matching exactly.
         kernel = w / sigma
         pads = tuple((p, p) for p in self.padding)
-        return _conv(x, kernel, bias, self.strides, pads, self.groups)
+        return _conv(x, kernel, bias, self.strides, pads, self.groups,
+                     self.dtype)

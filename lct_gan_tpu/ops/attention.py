@@ -93,9 +93,12 @@ def pick_block_seqs(length: int) -> int:
 
 
 def _block_mask_bias(block_seqs: int, length: int,
-                     lookback: Optional[int]) -> np.ndarray:
+                     lookback: Optional[int],
+                     valid_len: Optional[int] = None) -> np.ndarray:
     """[R, R] f32 additive bias: 0 where packed row/col are in the same
     sequence (and within the optional causal band), -1e30 elsewhere.
+    `valid_len` < length additionally masks KEY positions >= valid_len
+    (sequences padded to a tile-aligned length, ops/ftf.py).
 
     Precomputed ON THE HOST at trace time: computing it in-kernel needs
     two [R, R] integer divisions by L per tile (L=33 is not a power of
@@ -104,6 +107,8 @@ def _block_mask_bias(block_seqs: int, length: int,
     R = block_seqs * length
     pos = np.arange(R)
     same = (pos[:, None] // length) == (pos[None, :] // length)
+    if valid_len is not None and valid_len < length:
+        same &= (pos[None, :] % length) < valid_len
     if lookback is not None:
         rl = pos[:, None] % length
         cl = pos[None, :] % length

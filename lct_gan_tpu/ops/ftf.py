@@ -1,0 +1,371 @@
+"""Pallas TPU kernel: ONE fused pass for an entire FTF transformer block.
+
+The generator's hot loop is three FTF blocks (reference
+models/generator.py:581-583); each block is
+
+    pre-LN -> grouped GRU (+residual) -> pre-LN -> self-attention
+    -> Linear -> LeakyReLU (+residual)
+
+over thousands of short sequences ([B*T, F=33, 64] on the frequency axis,
+[B*F, T~126, 64] on the time axis). Round-1 ran the GRU as an XLA scan and
+the attention as its own Pallas kernel: every stage round-tripped HBM and
+each scan step / attention tile paid its own dispatch, leaving the block
+memory- and overhead-bound (~76 of the 85 ms forward at B=128 x 2 s).
+
+This kernel keeps a tile of BLOCK_SEQS sequences resident in VMEM for the
+WHOLE block:
+
+  * LayerNorms, residuals and the LeakyReLU are VPU passes on live data.
+  * The grouped GRU's input projection is one big MXU GEMM per direction
+    (grouped weights packed into dense gate-major block-diagonal [C, 3C]
+    matrices, reusing ops/gru.py's packers); the recurrence is a
+    lax.fori_loop whose carry never leaves VMEM.
+  * Attention packs `sub` sequences per scores GEMM with a host-precomputed
+    block-diagonal additive bias (same scheme as ops/attention.py, which
+    this kernel subsumes for the FTF blocks), including the optional
+    banded-causal time mask.
+  * Matmuls run bf16 with f32 accumulation; carries/outputs stay f32.
+
+Differentiable: custom VJP recomputes the backward through the pure-jnp
+`ftf_block_reference` below (pallas_call has no autodiff rule; CPU tests
+use the jnp path, so any new kernel MUST carry its own VJP -- see
+CLAUDE.md).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from lct_gan_tpu.ops.attention import _block_mask_bias, mhsa_reference
+from lct_gan_tpu.ops.gru import (
+    grouped_gru_reference,
+    pack_dense_gru_weights,
+    pack_gate_major_bias,
+)
+
+__all__ = ["fused_ftf_block", "ftf_block_reference", "pick_ftf_tile"]
+
+# Above this sequence length the per-tile VMEM working set (input-projection
+# and qkv scratch scale with L) stops fitting; callers fall back to the
+# composed per-op path (models/generator.py), where the standalone fused
+# attention kernel (ops/attention.py) still covers lengths up to 1024.
+MAX_FTF_SEQ = 512
+
+
+def _layer_norm(x: jax.Array, scale: jax.Array, bias: jax.Array,
+                eps: float = 1e-6) -> jax.Array:
+    """flax.linen.LayerNorm math (fast-variance form), rows = last axis."""
+    mu = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.maximum(
+        0.0, jnp.mean(jnp.square(x), axis=-1, keepdims=True) - jnp.square(mu))
+    return (x - mu) * jax.lax.rsqrt(var + eps) * scale + bias
+
+
+def ftf_block_reference(x: jax.Array,
+                        ln1_scale, ln1_bias,
+                        w_ih, w_hh, b_ih, b_hh,
+                        ln2_scale, ln2_bias,
+                        in_w, in_b, out_w, out_b,
+                        lin_w, lin_b,
+                        *,
+                        bidirectional: bool,
+                        num_heads: int,
+                        lookback: Optional[int] = None) -> jax.Array:
+    """Pure-jnp FTF block over x [N, L, C]; the kernel's numerical contract
+    and backward path. lin_w [2C, C] means concat([gru, attn]) input
+    (frequency block); [C, C] means attention-only (time block)."""
+    N, L, C = x.shape
+    n1 = _layer_norm(x, ln1_scale, ln1_bias)
+    g = grouped_gru_reference(n1, w_ih, w_hh, b_ih, b_hh,
+                              bidirectional=bidirectional)
+    s = x + g
+    n2 = _layer_norm(s, ln2_scale, ln2_bias)
+    a = mhsa_reference(n2, in_w, in_b, out_w, out_b, num_heads=num_heads,
+                       lookback=lookback)
+    if lin_w.shape[0] == 2 * C:
+        comb = (jnp.einsum("nlc,cf->nlf", g, lin_w[:C],
+                           preferred_element_type=jnp.float32) +
+                jnp.einsum("nlc,cf->nlf", a, lin_w[C:],
+                           preferred_element_type=jnp.float32) + lin_b)
+    else:
+        comb = jnp.einsum("nlc,cf->nlf", a, lin_w,
+                          preferred_element_type=jnp.float32) + lin_b
+    comb = jnp.where(comb >= 0, comb, 0.2 * comb)
+    return s + comb
+
+
+def pick_ftf_tile(length: int) -> Tuple[int, int]:
+    """(block_seqs, attn_sub) per-tile shape. Sized so the whole tile --
+    double-buffered io, bf16 xp/qkv scratches, f32 GRU carry, packed
+    [R, R] attention bias -- stays under the ~16 MB VMEM budget while the
+    recurrence GEMM rows stay MXU-friendly."""
+    if length <= 48:
+        return 256, 8     # freq axis (L=33): 13.4 ms/block, v5e sweep
+    if length <= 160:
+        return 128, 2     # time axis (L~129): 12.2 ms/block, v5e sweep
+    if length <= 320:
+        return 32, 2
+    return 16, 1
+
+
+def _ftf_kernel(x_ref, wih_ref, whh_ref, bih_ref, bhh_ref,
+                ln1s_ref, ln1b_ref, ln2s_ref, ln2b_ref,
+                inw_ref, inb_ref, outw_ref, outb_ref,
+                linw_ref, linb_ref, bias_ref,
+                o_ref,
+                xp_scr, gru_scr, qkv_scr, ctx_scr, h_scr,
+                *, directions: int, num_heads: int, sub: int,
+                valid_len: int):
+    # Shapes carry Lp (sequence length padded to the f32 sublane tile, so
+    # every in-kernel reshape merges/splits 8-aligned dims -- Mosaic rejects
+    # unaligned shape casts); `valid_len` is the true L. Padded positions:
+    # zeroed in the GRU output, key-masked in the attention bias, sliced
+    # off by the caller.
+    BS, Lp, C = x_ref.shape
+    L = valid_len
+    hd = C // num_heads
+    bf16 = jnp.bfloat16
+
+    x = x_ref[...]                                   # [BS, Lp, C]
+    xt = jnp.transpose(x, (1, 0, 2))                 # [Lp, BS, C] time-major
+    n1 = _layer_norm(xt.reshape(Lp * BS, C), ln1s_ref[...], ln1b_ref[...])
+
+    # ---- grouped GRU: big input-projection GEMM + VMEM-resident scan ----
+    for d in range(directions):
+        xp = jnp.dot(n1.astype(bf16), wih_ref[d].astype(bf16),
+                     preferred_element_type=jnp.float32) + bih_ref[d]
+        xp_scr[...] = xp.astype(bf16).reshape(Lp, BS, 3 * C)
+        whh_bf = whh_ref[d].astype(bf16)
+        bhh = bhh_ref[d]
+        h_scr[...] = jnp.zeros((BS, C), jnp.float32)
+
+        def step(i, _, d=d, whh_bf=whh_bf, bhh=bhh):
+            t = i if d == 0 else L - 1 - i
+            xpt = xp_scr[t].astype(jnp.float32)      # [BS, 3C]
+            h = h_scr[...]
+            hp = jnp.dot(h.astype(bf16), whh_bf,
+                         preferred_element_type=jnp.float32) + bhh
+            r = jax.nn.sigmoid(xpt[:, :C] + hp[:, :C])
+            z = jax.nn.sigmoid(xpt[:, C:2 * C] + hp[:, C:2 * C])
+            n = jnp.tanh(xpt[:, 2 * C:] + r * hp[:, 2 * C:])
+            h_new = (1.0 - z) * n + z * h
+            h_scr[...] = h_new
+            if d == 0:
+                gru_scr[t] = h_new
+            else:
+                gru_scr[t] = gru_scr[t] + h_new
+            return 0
+
+        jax.lax.fori_loop(0, L, step, 0)
+    for t in range(L, Lp):  # keep padded rows finite (uninitialized VMEM)
+        gru_scr[t] = jnp.zeros((BS, C), jnp.float32)
+
+    g = jnp.transpose(gru_scr[...], (1, 0, 2))       # [BS, Lp, C] seq-major
+    s = x + g
+
+    # ---- attention: qkv GEMM + packed block-diagonal scores ----
+    n2 = _layer_norm(s.reshape(BS * Lp, C), ln2s_ref[...], ln2b_ref[...])
+    qkv = jnp.dot(n2.astype(bf16), inw_ref[...].astype(bf16),
+                  preferred_element_type=jnp.float32) + inb_ref[...]
+    n_sub = BS // sub
+    R = sub * Lp
+    qkv_scr[...] = qkv.astype(bf16).reshape(n_sub, R, 3 * C)
+
+    scale = 1.0 / float(np.sqrt(hd))
+    bias = bias_ref[...]
+
+    def attn_chunk(c, _):
+        qm = qkv_scr[c]                              # [R, 3C]
+        parts = []
+        for h in range(num_heads):
+            q = qm[:, h * hd:(h + 1) * hd]
+            k = qm[:, C + h * hd:C + (h + 1) * hd]
+            v = qm[:, 2 * C + h * hd:2 * C + (h + 1) * hd]
+            sc = jnp.dot(q, k.T,
+                         preferred_element_type=jnp.float32) * scale + bias
+            m = jnp.max(sc, axis=-1, keepdims=True)
+            p = jnp.exp(sc - m)
+            # +tiny: padded query rows have every key masked (denom 0).
+            denom = jnp.sum(p, axis=-1, keepdims=True) + 1e-20
+            ctx = jnp.dot(p.astype(bf16), v,
+                          preferred_element_type=jnp.float32) / denom
+            parts.append(ctx.astype(bf16))
+        ctx_scr[c] = jnp.concatenate(parts, axis=-1)
+        return 0
+
+    jax.lax.fori_loop(0, n_sub, attn_chunk, 0)
+
+    a = jnp.dot(ctx_scr[...].reshape(BS * Lp, C),
+                outw_ref[...].astype(bf16),
+                preferred_element_type=jnp.float32) + outb_ref[...]
+
+    # ---- combine: Linear (+concat'd GRU for the freq block) + LeakyReLU ----
+    linw = linw_ref[...]
+    if linw.shape[0] == 2 * C:
+        comb = (jnp.dot(g.reshape(BS * Lp, C).astype(bf16),
+                        linw[:C].astype(bf16),
+                        preferred_element_type=jnp.float32) +
+                jnp.dot(a.astype(bf16), linw[C:].astype(bf16),
+                        preferred_element_type=jnp.float32) + linb_ref[...])
+    else:
+        comb = jnp.dot(a.astype(bf16), linw.astype(bf16),
+                       preferred_element_type=jnp.float32) + linb_ref[...]
+    comb = jnp.where(comb >= 0, comb, 0.2 * comb)
+    o_ref[...] = (s.reshape(BS * Lp, C) + comb).reshape(BS, Lp, C)
+
+
+def _fused_ftf_pallas(x, ln1s, ln1b, w_ih, w_hh, b_ih, b_hh, ln2s, ln2b,
+                      in_w, in_b, out_w, out_b, lin_w, lin_b,
+                      bidirectional, num_heads, lookback, block_seqs, sub,
+                      interpret):
+    N, L, C = x.shape
+    D = 2 if bidirectional else 1
+    if block_seqs is None or sub is None:
+        auto_bs, auto_sub = pick_ftf_tile(L)
+        block_seqs = block_seqs or auto_bs
+        sub = sub or auto_sub
+    block_seqs = min(block_seqs, max(sub, ((N + 7) // 8) * 8))
+    if block_seqs % sub:
+        raise ValueError(f"sub={sub} must divide block_seqs={block_seqs}")
+
+    # Pad the sequence axis to the sublane tile so every in-kernel reshape
+    # merges/splits aligned dims (f32 tile 8; the bf16 qkv scratch further
+    # needs the packed R = sub * Lp to be 16-aligned). Padded positions are
+    # masked/zeroed in-kernel and sliced off below.
+    Lp = -(-L // 8) * 8
+    if (sub * Lp) % 16:
+        Lp = -(-L // 16) * 16
+    pad = (-N) % block_seqs
+    if pad or Lp != L:
+        x = jnp.pad(x, ((0, pad), (0, Lp - L), (0, 0)))
+    n_tiles = (N + pad) // block_seqs
+
+    wih_d = jnp.stack([pack_dense_gru_weights(w_ih[d]) for d in range(D)])
+    whh_d = jnp.stack([pack_dense_gru_weights(w_hh[d]) for d in range(D)])
+    bih_g = jnp.stack([pack_gate_major_bias(b_ih[d]) for d in range(D)])
+    bhh_g = jnp.stack([pack_gate_major_bias(b_hh[d]) for d in range(D)])
+
+    R = sub * Lp
+    bias = jnp.asarray(_block_mask_bias(sub, Lp, lookback, valid_len=L))
+
+    kernel = functools.partial(_ftf_kernel, directions=D,
+                               num_heads=num_heads, sub=sub, valid_len=L)
+
+    def _full(shape):
+        return pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape),
+                            memory_space=pltpu.VMEM)
+
+    gru_flops = 2 * D * (N + pad) * Lp * C * 3 * C * 2  # in-proj + recur
+    attn_flops = n_tiles * (block_seqs // sub) * num_heads * 2 * R * R * (
+        C // num_heads) * 2
+    out = pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((block_seqs, Lp, C), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            _full((D, C, 3 * C)), _full((D, C, 3 * C)),
+            _full((D, 3 * C)), _full((D, 3 * C)),
+            _full((C,)), _full((C,)), _full((C,)), _full((C,)),
+            _full((C, 3 * C)), _full((3 * C,)),
+            _full((C, C)), _full((C,)),
+            _full(tuple(lin_w.shape)), _full((C,)),
+            _full((R, R)),
+        ],
+        out_specs=pl.BlockSpec((block_seqs, Lp, C), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((N + pad, Lp, C), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((Lp, block_seqs, 3 * C), jnp.bfloat16),  # xp
+            pltpu.VMEM((Lp, block_seqs, C), jnp.float32),       # gru out
+            pltpu.VMEM((block_seqs // sub, R, 3 * C),
+                       jnp.bfloat16),                           # qkv
+            pltpu.VMEM((block_seqs // sub, R, C), jnp.bfloat16),  # attn ctx
+            pltpu.VMEM((block_seqs, C), jnp.float32),           # carry
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=gru_flops + attn_flops + 2 * (N + pad) * Lp * C * 8 * C,
+            bytes_accessed=2 * (N + pad) * Lp * C * 4,
+            transcendentals=(N + pad) * Lp * (3 * C * D + num_heads * R),
+        ),
+        # The default 16 MB scoped-vmem budget rejects productive tile
+        # sizes (the f32 GEMM intermediates are transient but count);
+        # v5e has headroom above it.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(x.astype(jnp.float32), wih_d, whh_d, bih_g, bhh_g,
+      ln1s, ln1b, ln2s, ln2b, in_w, in_b, out_w, out_b, lin_w, lin_b, bias)
+    return out[:N, :L] if (pad or Lp != L) else out
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(15, 16, 17, 18, 19, 20))
+def _fused_ftf(x, ln1s, ln1b, w_ih, w_hh, b_ih, b_hh, ln2s, ln2b,
+               in_w, in_b, out_w, out_b, lin_w, lin_b,
+               bidirectional, num_heads, lookback, block_seqs, sub,
+               interpret):
+    return _fused_ftf_pallas(x, ln1s, ln1b, w_ih, w_hh, b_ih, b_hh,
+                             ln2s, ln2b, in_w, in_b, out_w, out_b,
+                             lin_w, lin_b, bidirectional, num_heads,
+                             lookback, block_seqs, sub, interpret)
+
+
+def _fused_ftf_fwd(x, ln1s, ln1b, w_ih, w_hh, b_ih, b_hh, ln2s, ln2b,
+                   in_w, in_b, out_w, out_b, lin_w, lin_b,
+                   bidirectional, num_heads, lookback, block_seqs, sub,
+                   interpret):
+    out = _fused_ftf_pallas(x, ln1s, ln1b, w_ih, w_hh, b_ih, b_hh,
+                            ln2s, ln2b, in_w, in_b, out_w, out_b,
+                            lin_w, lin_b, bidirectional, num_heads,
+                            lookback, block_seqs, sub, interpret)
+    return out, (x, ln1s, ln1b, w_ih, w_hh, b_ih, b_hh, ln2s, ln2b,
+                 in_w, in_b, out_w, out_b, lin_w, lin_b)
+
+
+def _fused_ftf_bwd(bidirectional, num_heads, lookback, block_seqs, sub,
+                   interpret, res, g):
+    _, vjp = jax.vjp(
+        lambda *args: ftf_block_reference(
+            *args, bidirectional=bidirectional, num_heads=num_heads,
+            lookback=lookback),
+        *res)
+    return vjp(g)
+
+
+_fused_ftf.defvjp(_fused_ftf_fwd, _fused_ftf_bwd)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("bidirectional", "num_heads", "lookback", "block_seqs",
+                     "sub", "interpret"))
+def fused_ftf_block(x: jax.Array,
+                    ln1_scale, ln1_bias,
+                    w_ih, w_hh, b_ih, b_hh,
+                    ln2_scale, ln2_bias,
+                    in_w, in_b, out_w, out_b,
+                    lin_w, lin_b,
+                    *,
+                    bidirectional: bool,
+                    num_heads: int = 4,
+                    lookback: Optional[int] = None,
+                    block_seqs: Optional[int] = None,
+                    sub: Optional[int] = None,
+                    interpret: bool = False) -> jax.Array:
+    """Fused FTF block over x [N, L, C] -> [N, L, C] f32.
+
+    GRU params in GroupedGRU layout ([D, G, H, 3H] / [D, G, 3H]); attention
+    params in torch packed layout; lin_w [2C, C] = freq block
+    (concat(gru, attn)), [C, C] = time block (attention only).
+    Differentiable (custom VJP -> ftf_block_reference)."""
+    return _fused_ftf(x, ln1_scale, ln1_bias, w_ih, w_hh, b_ih, b_hh,
+                      ln2_scale, ln2_bias, in_w, in_b, out_w, out_b,
+                      lin_w, lin_b, bidirectional, num_heads, lookback,
+                      block_seqs, sub, interpret)

@@ -51,6 +51,9 @@ class TrainConfig:
     # flag). Training with it threads the 'spectral' u/v buffers through
     # every discriminator forward, torch power-iteration semantics.
     use_spectral_norm: bool = False
+    # bf16 discriminator compute (params stay f32; MXU accumulates f32).
+    # The generator keeps f32 convs + bf16-matmul Pallas kernels either way.
+    bf16: bool = False
     seed: int = 42
     log_interval: int = 50
     val_interval: int = 50
@@ -85,9 +88,12 @@ def build_models(cfg: TrainConfig):
     gen_cfg = LCTGeneratorConfig(num_heads=cfg.num_heads,
                                  gru_groups=cfg.gru_groups,
                                  max_time_context=cfg.max_time_context)
+    ddtype = jnp.bfloat16 if cfg.bf16 else jnp.float32
     enhancer = LctEnhancer(gen_cfg=gen_cfg, c=cfg.compress_c)
-    mpd = MultiPeriodDiscriminator(use_spectral_norm=cfg.use_spectral_norm)
-    msd = MultiScaleDiscriminator(use_spectral_norm=cfg.use_spectral_norm)
+    mpd = MultiPeriodDiscriminator(use_spectral_norm=cfg.use_spectral_norm,
+                                   dtype=ddtype)
+    msd = MultiScaleDiscriminator(use_spectral_norm=cfg.use_spectral_norm,
+                                  dtype=ddtype)
     return enhancer, mpd, msd
 
 

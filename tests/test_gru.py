@@ -1,5 +1,6 @@
-"""Pallas fused grouped-GRU kernel correctness vs the lax.scan reference
-path (interpret mode on CPU)."""
+"""Grouped-GRU numerics: dense gate-major weight packing (consumed by the
+fused FTF kernel, ops/ftf.py) and torch.nn.GRU parity of the reference
+scan formulation."""
 
 import numpy as np
 import pytest
@@ -8,7 +9,11 @@ import jax
 import jax.numpy as jnp
 
 from lct_gan_tpu.models import GroupedGRU
-from lct_gan_tpu.ops.gru import fused_grouped_gru, pack_dense_gru_weights
+from lct_gan_tpu.ops.gru import (
+    grouped_gru_reference,
+    pack_dense_gru_weights,
+    pack_gate_major_bias,
+)
 
 
 def test_pack_dense_weights_structure():
@@ -23,24 +28,42 @@ def test_pack_dense_weights_structure():
     assert np.all(dense[0:16, 80:96] == 0)
 
 
+def test_dense_packing_reproduces_grouped_math():
+    """x @ dense(w_ih) with gate-major bias == the grouped einsum + gate
+    slicing the FTF kernel relies on."""
+    rng = np.random.default_rng(1)
+    G, H, N = 4, 16, 10
+    C = G * H
+    w = jnp.asarray(rng.standard_normal((G, H, 3 * H)).astype(np.float32))
+    b = jnp.asarray(rng.standard_normal((G, 3 * H)).astype(np.float32))
+    x = jnp.asarray(rng.standard_normal((N, C)).astype(np.float32))
+
+    dense = pack_dense_gru_weights(w)
+    bg = pack_gate_major_bias(b)
+    out = np.asarray(x @ dense + bg)  # [N, 3C] gate-major
+
+    xg = np.asarray(x).reshape(N, G, H)
+    grouped = np.einsum("ngi,gio->ngo", xg, np.asarray(w)) + np.asarray(b)
+    for gate in range(3):
+        gate_cols = grouped[..., gate * H:(gate + 1) * H].reshape(N, C)
+        np.testing.assert_allclose(out[:, gate * C:(gate + 1) * C],
+                                   gate_cols, rtol=1e-5, atol=1e-5)
+
+
 @pytest.mark.parametrize("bidirectional", [False, True])
-@pytest.mark.parametrize("N,L", [(12, 33), (5, 20)])
-def test_fused_gru_matches_reference(bidirectional, N, L):
-    mod = GroupedGRU(bidirectional=bidirectional, use_pallas=False)
-    x = jax.random.normal(jax.random.PRNGKey(1), (N, L, 64), jnp.float32)
+def test_reference_matches_module(bidirectional):
+    mod = GroupedGRU(bidirectional=bidirectional)
+    x = jax.random.normal(jax.random.PRNGKey(1), (5, 20, 64), jnp.float32)
     params = mod.init(jax.random.PRNGKey(0), x)["params"]
-
     ref = mod.apply({"params": params}, x)
-    out = fused_grouped_gru(
+    out = grouped_gru_reference(
         x, params["w_ih"], params["w_hh"], params["b_ih"], params["b_hh"],
-        bidirectional=bidirectional, block_b=8, interpret=True)
+        bidirectional=bidirectional)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
-                               rtol=2e-2, atol=2e-2)
-    a, b = np.asarray(out).ravel(), np.asarray(ref).ravel()
-    assert np.corrcoef(a, b)[0, 1] > 0.9999
+                               rtol=1e-5, atol=1e-5)
 
 
-def test_fused_gru_matches_torch():
+def test_reference_matches_torch():
     """End-to-end against torch.nn.GRU with converted weights."""
     torch = pytest.importorskip("torch")
     torch.manual_seed(0)
@@ -62,9 +85,8 @@ def test_fused_gru_matches_torch():
     from lct_gan_tpu.convert.torch_import import _grouped_gru
 
     p = _grouped_gru(sd, "", groups=G, bidirectional=True)
-    out = fused_grouped_gru(
+    out = grouped_gru_reference(
         jnp.asarray(x.numpy()), jnp.asarray(p["w_ih"]),
         jnp.asarray(p["w_hh"]), jnp.asarray(p["b_ih"]),
-        jnp.asarray(p["b_hh"]), bidirectional=True, block_b=8,
-        interpret=True)
-    np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-2, atol=2e-2)
+        jnp.asarray(p["b_hh"]), bidirectional=True)
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-4, atol=1e-4)

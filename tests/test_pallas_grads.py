@@ -8,9 +8,8 @@ import pytest
 import jax
 import jax.numpy as jnp
 
-from lct_gan_tpu.models import GroupedGRU, MultiHeadSelfAttention
+from lct_gan_tpu.models import MultiHeadSelfAttention
 from lct_gan_tpu.ops.attention import fused_mhsa, mhsa_reference
-from lct_gan_tpu.ops.gru import fused_grouped_gru, grouped_gru_reference
 
 
 def test_mhsa_grads_match_reference():
@@ -36,34 +35,11 @@ def test_mhsa_grads_match_reference():
         assert np.corrcoef(a.ravel(), b.ravel())[0, 1] > 0.999
 
 
-@pytest.mark.parametrize("bidirectional", [False, True])
-def test_gru_grads_match_reference(bidirectional):
-    mod = GroupedGRU(bidirectional=bidirectional, use_pallas=False)
-    x = jax.random.normal(jax.random.PRNGKey(1), (6, 16, 64), jnp.float32)
-    p = mod.init(jax.random.PRNGKey(0), x)["params"]
-    args = (x, p["w_ih"], p["w_hh"], p["b_ih"], p["b_hh"])
-
-    def loss_fused(*a):
-        return jnp.sum(jnp.square(fused_grouped_gru(
-            *a, bidirectional=bidirectional, block_b=8, interpret=True)))
-
-    def loss_ref(*a):
-        return jnp.sum(jnp.square(grouped_gru_reference(
-            *a, bidirectional=bidirectional)))
-
-    g_fused = jax.grad(loss_fused, argnums=(0, 1, 2, 3, 4))(*args)
-    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2, 3, 4))(*args)
-    for a, b in zip(g_fused, g_ref):
-        a, b = np.asarray(a), np.asarray(b)
-        np.testing.assert_allclose(a, b, rtol=5e-2, atol=1e-1)
-        assert np.corrcoef(a.ravel(), b.ravel())[0, 1] > 0.999
-
-
 def test_generator_is_differentiable_with_pallas_forced(monkeypatch):
-    """The full generator must produce grads with the Pallas attention
-    active (this is the TPU training path; a kernel without a VJP would
-    crash the train step). LCT_PALLAS_INTERPRET drives the exact
-    production dispatch in models/attention.py, interpreted on CPU."""
+    """The full generator must produce grads with the fused Pallas FTF
+    kernel active (this is the TPU training path; a kernel without a VJP
+    would crash the train step). LCT_PALLAS_INTERPRET drives the exact
+    production dispatch in models/generator.py, interpreted on CPU."""
     from lct_gan_tpu.models.generator import FreqGRUBlock
 
     monkeypatch.setenv("LCT_PALLAS_INTERPRET", "1")

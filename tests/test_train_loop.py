@@ -91,6 +91,49 @@ def test_run_training_and_resume(tmp_path):
 
 
 @pytest.mark.slow
+def test_training_improves_synthetic_denoising():
+    """Convergence smoke test (VERDICT round-1 item 4): N GAN steps on a
+    tone+noise task must IMPROVE held-out val MR-STFT and SI-SDR. Catches
+    a wrong G update direction, bad loss weighting, or misplaced
+    stop_gradient -- none of which the artifact/resume tests see."""
+    from lct_gan_tpu.train.step import make_eval_step, make_train_step
+
+    # Sized for the 1-core CPU test host: ~25 steps at batch 4 x 0.15 s.
+    cfg = TrainConfig(segment_seconds=0.15, batch_size=4,
+                      lr_g=1e-3, lr_d=1e-3)
+    sr, T = cfg.sample_rate, cfg.segment_length
+    rng = np.random.default_rng(7)
+    t = np.arange(T) / sr
+    freqs = np.linspace(250.0, 1800.0, cfg.batch_size)
+    clean = np.stack([0.3 * np.sin(2 * np.pi * f * t + p) for f, p in
+                      zip(freqs, rng.uniform(0, 6.28, cfg.batch_size))]
+                     ).astype(np.float32)
+    noise_tr = (rng.standard_normal(clean.shape) * 0.15).astype(np.float32)
+    noise_va = (rng.standard_normal(clean.shape) * 0.15).astype(np.float32)
+    noisy_tr, noisy_va = clean + noise_tr, clean + noise_va
+    lengths = np.full((cfg.batch_size,), T, np.int32)
+
+    state = create_state(cfg, jax.random.PRNGKey(0))
+    train_step = jax.jit(make_train_step(cfg), donate_argnums=0)
+    eval_step = jax.jit(make_eval_step(cfg))
+
+    def val_metrics(g_params):
+        _, m = eval_step(g_params, noisy_va, clean, lengths)
+        return (float(np.mean(np.asarray(m["mrstft"]))),
+                float(np.mean(np.asarray(m["si_sdr"]))))
+
+    mrstft0, sisdr0 = val_metrics(state.g_params)
+    for _ in range(25):
+        state, metrics = train_step(state, noisy_tr, clean)
+        assert np.isfinite(float(metrics["d_loss"]))
+        assert np.isfinite(float(metrics["g_loss"]))
+    mrstft1, sisdr1 = val_metrics(state.g_params)
+
+    assert mrstft1 < 0.92 * mrstft0, (mrstft0, mrstft1)
+    assert sisdr1 > sisdr0 + 0.5, (sisdr0, sisdr1)
+
+
+@pytest.mark.slow
 def test_validation_invariant_to_tail_batch_padding(tmp_path):
     """val metrics must be identical whether or not the val-set size is a
     multiple of the batch size (padded tail rows are excluded from the

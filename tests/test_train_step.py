@@ -119,6 +119,30 @@ def test_spectral_norm_training_step(batch):
     assert np.isfinite(float(metrics2["d_loss"]))
 
 
+def test_bf16_train_step(state, batch):
+    """--bf16 (bf16 discriminator compute): params/opt state stay f32, the
+    step runs, and losses land near the f32 step's (bf16 convs with f32
+    accumulation shift numerics only slightly)."""
+    noisy, clean = batch
+    cfg = TrainConfig(segment_seconds=0.25, batch_size=2, bf16=True)
+    bstate = create_state(cfg, jax.random.PRNGKey(0))
+    for leaf in jax.tree.leaves(bstate.mpd_params):
+        assert leaf.dtype == jnp.float32
+
+    step = jax.jit(make_train_step(cfg), donate_argnums=())
+    new_state, metrics = step(bstate, noisy, clean)
+    for k, v in metrics.items():
+        assert np.isfinite(float(v)), f"{k} not finite"
+    for leaf in jax.tree.leaves(new_state.msd_params):
+        assert leaf.dtype == jnp.float32
+
+    f32_step = jax.jit(make_train_step(CFG), donate_argnums=())
+    _, ref_metrics = f32_step(state, noisy, clean)
+    for k in ("d_loss", "g_loss", "mr_loss", "mask_loss"):
+        np.testing.assert_allclose(float(metrics[k]), float(ref_metrics[k]),
+                                   rtol=5e-2, atol=5e-3, err_msg=k)
+
+
 def test_masked_si_sdr_matches_reference_formula():
     """Our masked SI-SDR == the reference's per-utterance loop
     (train.py:261-282)."""

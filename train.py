@@ -59,6 +59,11 @@ def parse_args():
                              "reference supports this at module level, "
                              "discriminators.py:243-248, but never exposed "
                              "a flag).")
+    parser.add_argument("--bf16", action="store_true",
+                        help="bf16 discriminator compute (f32 params and "
+                             "optimizer state; MXU accumulates f32). "
+                             "Roughly halves D forward/backward cost on "
+                             "TPU.")
     parser.add_argument("--seed", type=int, default=42)
     parser.add_argument("--log_interval", type=int, default=50)
 
@@ -109,6 +114,7 @@ def main():
         gru_groups=args.gru_groups,
         max_time_context=args.max_time_context,
         use_spectral_norm=args.use_spectral_norm,
+        bf16=args.bf16,
         seed=args.seed,
         log_interval=args.log_interval,
         val_interval=args.val_interval,
