@@ -16,20 +16,25 @@ This kernel keeps a tile of BLOCK_SEQS sequences resident in VMEM for the
 WHOLE block:
 
   * LayerNorms, residuals and the LeakyReLU are VPU passes on live data.
-  * The grouped GRU's input projection is one big MXU GEMM per direction
-    (grouped weights packed into dense gate-major block-diagonal [C, 3C]
-    matrices, reusing ops/gru.py's packers); the recurrence is a
-    lax.fori_loop whose carry never leaves VMEM.
+  * The grouped GRU's input projection is ONE big MXU GEMM covering both
+    directions (grouped weights packed into dense gate-major
+    block-diagonal matrices, reusing ops/gru.py's packers); the
+    recurrence is a lax.fori_loop whose carry never leaves VMEM and whose
+    per-step GEMM computes forward AND backward gates together
+    (block-diagonal [D*C, D*3C] hidden weights) -- L sequential steps for
+    a bidirectional GRU, not 2L.
   * Attention packs `sub` sequences per scores GEMM with a host-precomputed
     block-diagonal additive bias (same scheme as ops/attention.py, which
     this kernel subsumes for the FTF blocks), including the optional
     banded-causal time mask.
   * Matmuls run bf16 with f32 accumulation; carries/outputs stay f32.
 
-Differentiable: custom VJP recomputes the backward through the pure-jnp
-`ftf_block_reference` below (pallas_call has no autodiff rule; CPU tests
-use the jnp path, so any new kernel MUST carry its own VJP -- see
-CLAUDE.md).
+Differentiable: custom VJP. The backward is its own fused Pallas kernel
+(ops/ftf_bwd.py) fed by per-direction hidden states this kernel saves
+under grad; LCT_FTF_JNP_BWD=1 falls back to an exact jnp recompute
+through `ftf_block_reference` below (pallas_call has no autodiff rule;
+CPU tests use the jnp path, so any new kernel MUST carry its own VJP --
+see CLAUDE.md).
 """
 
 from __future__ import annotations
@@ -101,26 +106,28 @@ def ftf_block_reference(x: jax.Array,
     return s + comb
 
 
-def pick_ftf_tile(length: int) -> Tuple[int, int]:
-    """(block_seqs, attn_sub) per-tile shape. Sized so the whole tile --
-    double-buffered io, bf16 xp/qkv scratches, f32 GRU carry, packed
-    [R, R] attention bias -- stays under the ~16 MB VMEM budget while the
-    recurrence GEMM rows stay MXU-friendly."""
+def pick_ftf_tile(length: int, save_hidden: bool = False) -> Tuple[int, int]:
+    """(block_seqs, attn_sub) per-tile shape, from the v5e sweep
+    (tools/sweep_ftf.py). Sized so the whole tile -- double-buffered io,
+    f32 xp scratch, f32 GRU carry, packed [R, R] attention bias -- fits
+    VMEM. Under save_hidden (training forward) the tile also carries the
+    double-buffered per-direction hidden-state output, so the long
+    time-axis tile halves."""
     if length <= 48:
-        return 256, 8     # freq axis (L=33): 13.4 ms/block, v5e sweep
+        return 256, 8     # freq axis (L=33): 13.4 ms/block
     if length <= 160:
-        return 128, 2     # time axis (L~129): 12.2 ms/block, v5e sweep
+        return (64, 2) if save_hidden else (128, 2)  # time axis (L~129)
     if length <= 320:
-        return 32, 2
-    return 16, 1
+        return (16, 2) if save_hidden else (32, 2)
+    return (8, 1) if save_hidden else (16, 1)
 
 
 def _ftf_kernel(x_ref, wih_ref, whh_ref, bih_ref, bhh_ref,
                 ln1s_ref, ln1b_ref, ln2s_ref, ln2b_ref,
                 inw_ref, inb_ref, outw_ref, outb_ref,
                 linw_ref, linb_ref, bias_ref,
-                o_ref,
-                xp_scr, gru_scr, qkv_scr, ctx_scr, h_scr,
+                o_ref, hid_ref,
+                xp_scr, gru_scr, bwdg_scr, qkv_scr, ctx_scr, h_scr,
                 *, directions: int, num_heads: int, sub: int,
                 valid_len: int):
     # Shapes carry Lp (sequence length padded to the f32 sublane tile, so
@@ -128,8 +135,16 @@ def _ftf_kernel(x_ref, wih_ref, whh_ref, bih_ref, bhh_ref,
     # unaligned shape casts); `valid_len` is the true L. Padded positions:
     # zeroed in the GRU output, key-masked in the attention bias, sliced
     # off by the caller.
+    #
+    # Both GRU directions run in ONE recurrence chain: the wrapper packs
+    # forward+backward weights into [C, D*3C] (input proj) and a
+    # block-diagonal [D*C, D*3C] (hidden proj), so each step is a single
+    # GEMM computing both directions' gates -- L sequential steps instead
+    # of 2L. Forward writes gru_scr[t], backward writes bwdg_scr[L-1-t]
+    # (separate scratch: the two visit each t at different loop steps).
     BS, Lp, C = x_ref.shape
     L = valid_len
+    D = directions
     hd = C // num_heads
     bf16 = jnp.bfloat16
 
@@ -137,37 +152,52 @@ def _ftf_kernel(x_ref, wih_ref, whh_ref, bih_ref, bhh_ref,
     xt = jnp.transpose(x, (1, 0, 2))                 # [Lp, BS, C] time-major
     n1 = _layer_norm(xt.reshape(Lp * BS, C), ln1s_ref[...], ln1b_ref[...])
 
-    # ---- grouped GRU: big input-projection GEMM + VMEM-resident scan ----
-    for d in range(directions):
-        xp = jnp.dot(n1.astype(bf16), wih_ref[d].astype(bf16),
-                     preferred_element_type=jnp.float32) + bih_ref[d]
-        xp_scr[...] = xp.astype(bf16).reshape(Lp, BS, 3 * C)
-        whh_bf = whh_ref[d].astype(bf16)
-        bhh = bhh_ref[d]
-        h_scr[...] = jnp.zeros((BS, C), jnp.float32)
+    # ---- grouped GRU: one input-projection GEMM + VMEM-resident scan ----
+    xp = jnp.dot(n1.astype(bf16), wih_ref[...].astype(bf16),
+                 preferred_element_type=jnp.float32) + bih_ref[...]
+    # f32 storage: the gate nonlinearities amplify xp rounding, and the
+    # backward kernel (ops/ftf_bwd.py) recomputes gates from an f32 xp --
+    # keeping both in f32 makes forward and backward see identical gates.
+    xp_scr[...] = xp.reshape(Lp, BS, D * 3 * C)
+    whh_bf = whh_ref[...].astype(bf16)               # [D*C, D*3C] blockdiag
+    bhh = bhh_ref[...]
+    h_scr[...] = jnp.zeros((BS, D * C), jnp.float32)
 
-        def step(i, _, d=d, whh_bf=whh_bf, bhh=bhh):
-            t = i if d == 0 else L - 1 - i
-            xpt = xp_scr[t].astype(jnp.float32)      # [BS, 3C]
-            h = h_scr[...]
-            hp = jnp.dot(h.astype(bf16), whh_bf,
-                         preferred_element_type=jnp.float32) + bhh
-            r = jax.nn.sigmoid(xpt[:, :C] + hp[:, :C])
-            z = jax.nn.sigmoid(xpt[:, C:2 * C] + hp[:, C:2 * C])
-            n = jnp.tanh(xpt[:, 2 * C:] + r * hp[:, 2 * C:])
-            h_new = (1.0 - z) * n + z * h
-            h_scr[...] = h_new
-            if d == 0:
-                gru_scr[t] = h_new
-            else:
-                gru_scr[t] = gru_scr[t] + h_new
-            return 0
+    def gates(xpt, hp, h_prev, base):
+        r = jax.nn.sigmoid(xpt[:, base:base + C] + hp[:, base:base + C])
+        z = jax.nn.sigmoid(xpt[:, base + C:base + 2 * C] +
+                           hp[:, base + C:base + 2 * C])
+        n = jnp.tanh(xpt[:, base + 2 * C:base + 3 * C] +
+                     r * hp[:, base + 2 * C:base + 3 * C])
+        return (1.0 - z) * n + z * h_prev
 
-        jax.lax.fori_loop(0, L, step, 0)
+    def step(i, _):
+        h = h_scr[...]                               # [BS, D*C]
+        hp = jnp.dot(h.astype(bf16), whh_bf,
+                     preferred_element_type=jnp.float32) + bhh
+        xf = xp_scr[i]                               # [BS, D*3C]
+        hf = gates(xf, hp, h[:, :C], 0)
+        gru_scr[i] = hf
+        if D == 2:
+            tb = L - 1 - i
+            xb = xp_scr[tb]
+            hb = gates(xb, hp, h[:, C:], 3 * C)
+            bwdg_scr[tb] = hb
+            h_scr[...] = jnp.concatenate([hf, hb], axis=-1)
+        else:
+            h_scr[...] = hf
+        return 0
+
+    jax.lax.fori_loop(0, L, step, 0)
     for t in range(L, Lp):  # keep padded rows finite (uninitialized VMEM)
         gru_scr[t] = jnp.zeros((BS, C), jnp.float32)
+        if D == 2:
+            bwdg_scr[t] = jnp.zeros((BS, C), jnp.float32)
 
-    g = jnp.transpose(gru_scr[...], (1, 0, 2))       # [BS, Lp, C] seq-major
+    g_tm = gru_scr[...]
+    if D == 2:
+        g_tm = g_tm + bwdg_scr[...]
+    g = jnp.transpose(g_tm, (1, 0, 2))               # [BS, Lp, C] seq-major
     s = x + g
 
     # ---- attention: qkv GEMM + packed block-diagonal scores ----
@@ -219,16 +249,25 @@ def _ftf_kernel(x_ref, wih_ref, whh_ref, bih_ref, bhh_ref,
                        preferred_element_type=jnp.float32) + linb_ref[...]
     comb = jnp.where(comb >= 0, comb, 0.2 * comb)
     o_ref[...] = (s.reshape(BS * Lp, C) + comb).reshape(BS, Lp, C)
+    if hid_ref is not None:
+        # Per-direction hidden states for the fused backward kernel
+        # (ops/ftf_bwd.py): with every h_t saved, the backward's hp
+        # recompute and weight grads hoist into single GEMMs.
+        if D == 2:
+            hid_tm = jnp.concatenate([gru_scr[...], bwdg_scr[...]], axis=-1)
+        else:
+            hid_tm = gru_scr[...]
+        hid_ref[...] = jnp.transpose(hid_tm, (1, 0, 2))
 
 
 def _fused_ftf_pallas(x, ln1s, ln1b, w_ih, w_hh, b_ih, b_hh, ln2s, ln2b,
                       in_w, in_b, out_w, out_b, lin_w, lin_b,
                       bidirectional, num_heads, lookback, block_seqs, sub,
-                      interpret):
+                      interpret, save_hidden=False):
     N, L, C = x.shape
     D = 2 if bidirectional else 1
     if block_seqs is None or sub is None:
-        auto_bs, auto_sub = pick_ftf_tile(L)
+        auto_bs, auto_sub = pick_ftf_tile(L, save_hidden)
         block_seqs = block_seqs or auto_bs
         sub = sub or auto_sub
     block_seqs = min(block_seqs, max(sub, ((N + 7) // 8) * 8))
@@ -247,16 +286,32 @@ def _fused_ftf_pallas(x, ln1s, ln1b, w_ih, w_hh, b_ih, b_hh, ln2s, ln2b,
         x = jnp.pad(x, ((0, pad), (0, Lp - L), (0, 0)))
     n_tiles = (N + pad) // block_seqs
 
-    wih_d = jnp.stack([pack_dense_gru_weights(w_ih[d]) for d in range(D)])
-    whh_d = jnp.stack([pack_dense_gru_weights(w_hh[d]) for d in range(D)])
-    bih_g = jnp.stack([pack_gate_major_bias(b_ih[d]) for d in range(D)])
-    bhh_g = jnp.stack([pack_gate_major_bias(b_hh[d]) for d in range(D)])
+    # Pack both directions for the single-chain recurrence: input proj
+    # [C, D*3C] (fwd gate columns then bwd), hidden proj block-diagonal
+    # [D*C, D*3C] so one GEMM yields both directions' gate pre-activations.
+    wih_p = jnp.concatenate(
+        [pack_dense_gru_weights(w_ih[d]) for d in range(D)], axis=1)
+    whh_p = jnp.zeros((D * C, D * 3 * C), w_hh.dtype)
+    for d in range(D):
+        whh_p = whh_p.at[d * C:(d + 1) * C,
+                         d * 3 * C:(d + 1) * 3 * C].set(
+                             pack_dense_gru_weights(w_hh[d]))
+    bih_p = jnp.concatenate(
+        [pack_gate_major_bias(b_ih[d]) for d in range(D)])
+    bhh_p = jnp.concatenate(
+        [pack_gate_major_bias(b_hh[d]) for d in range(D)])
 
     R = sub * Lp
     bias = jnp.asarray(_block_mask_bias(sub, Lp, lookback, valid_len=L))
 
-    kernel = functools.partial(_ftf_kernel, directions=D,
-                               num_heads=num_heads, sub=sub, valid_len=L)
+    base = functools.partial(_ftf_kernel, directions=D,
+                             num_heads=num_heads, sub=sub, valid_len=L)
+    if save_hidden:
+        kernel = base
+    else:
+        # No hid output ref in the call signature; splice in None after
+        # o_ref (arg 16 inputs + 1 output) so the impl skips the store.
+        kernel = lambda *a: base(*a[:17], None, *a[17:])  # noqa: E731
 
     def _full(shape):
         return pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape),
@@ -265,30 +320,45 @@ def _fused_ftf_pallas(x, ln1s, ln1b, w_ih, w_hh, b_ih, b_hh, ln2s, ln2b,
     gru_flops = 2 * D * (N + pad) * Lp * C * 3 * C * 2  # in-proj + recur
     attn_flops = n_tiles * (block_seqs // sub) * num_heads * 2 * R * R * (
         C // num_heads) * 2
+    if save_hidden:
+        out_specs = (
+            pl.BlockSpec((block_seqs, Lp, C), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_seqs, Lp, D * C), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM))
+        out_shape = (
+            jax.ShapeDtypeStruct((N + pad, Lp, C), jnp.float32),
+            jax.ShapeDtypeStruct((N + pad, Lp, D * C), jnp.float32))
+    else:
+        out_specs = pl.BlockSpec((block_seqs, Lp, C), lambda i: (i, 0, 0),
+                                 memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((N + pad, Lp, C), jnp.float32)
+
     out = pl.pallas_call(
         kernel,
         grid=(n_tiles,),
         in_specs=[
             pl.BlockSpec((block_seqs, Lp, C), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            _full((D, C, 3 * C)), _full((D, C, 3 * C)),
-            _full((D, 3 * C)), _full((D, 3 * C)),
+            _full((C, D * 3 * C)), _full((D * C, D * 3 * C)),
+            _full((D * 3 * C,)), _full((D * 3 * C,)),
             _full((C,)), _full((C,)), _full((C,)), _full((C,)),
             _full((C, 3 * C)), _full((3 * C,)),
             _full((C, C)), _full((C,)),
             _full(tuple(lin_w.shape)), _full((C,)),
             _full((R, R)),
         ],
-        out_specs=pl.BlockSpec((block_seqs, Lp, C), lambda i: (i, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((N + pad, Lp, C), jnp.float32),
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=[
-            pltpu.VMEM((Lp, block_seqs, 3 * C), jnp.bfloat16),  # xp
-            pltpu.VMEM((Lp, block_seqs, C), jnp.float32),       # gru out
+            pltpu.VMEM((Lp, block_seqs, D * 3 * C), jnp.float32),  # xp
+            pltpu.VMEM((Lp, block_seqs, C), jnp.float32),       # gru fwd out
+            pltpu.VMEM((Lp, block_seqs, C) if D == 2 else (8, 8, C),
+                       jnp.float32),                            # gru bwd out
             pltpu.VMEM((block_seqs // sub, R, 3 * C),
                        jnp.bfloat16),                           # qkv
             pltpu.VMEM((block_seqs // sub, R, C), jnp.bfloat16),  # attn ctx
-            pltpu.VMEM((block_seqs, C), jnp.float32),           # carry
+            pltpu.VMEM((block_seqs, D * C), jnp.float32),       # carry
         ],
         cost_estimate=pl.CostEstimate(
             flops=gru_flops + attn_flops + 2 * (N + pad) * Lp * C * 8 * C,
@@ -297,12 +367,18 @@ def _fused_ftf_pallas(x, ln1s, ln1b, w_ih, w_hh, b_ih, b_hh, ln2s, ln2b,
         ),
         # The default 16 MB scoped-vmem budget rejects productive tile
         # sizes (the f32 GEMM intermediates are transient but count);
-        # v5e has headroom above it.
+        # v5e has headroom above it (~128 MB total). save_hidden adds the
+        # hid output buffer + f32 xp, so training needs the higher cap.
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
+            vmem_limit_bytes=(110 if save_hidden else 104) * 1024 * 1024),
         interpret=interpret,
-    )(x.astype(jnp.float32), wih_d, whh_d, bih_g, bhh_g,
+    )(x.astype(jnp.float32), wih_p, whh_p, bih_p, bhh_p,
       ln1s, ln1b, ln2s, ln2b, in_w, in_b, out_w, out_b, lin_w, lin_b, bias)
+    if save_hidden:
+        out, hid = out
+        if pad or Lp != L:
+            out, hid = out[:N, :L], hid[:N, :L]
+        return out, hid
     return out[:N, :L] if (pad or Lp != L) else out
 
 
@@ -321,22 +397,35 @@ def _fused_ftf_fwd(x, ln1s, ln1b, w_ih, w_hh, b_ih, b_hh, ln2s, ln2b,
                    in_w, in_b, out_w, out_b, lin_w, lin_b,
                    bidirectional, num_heads, lookback, block_seqs, sub,
                    interpret):
+    import os
+    jnp_bwd = bool(os.environ.get("LCT_FTF_JNP_BWD"))
     out = _fused_ftf_pallas(x, ln1s, ln1b, w_ih, w_hh, b_ih, b_hh,
                             ln2s, ln2b, in_w, in_b, out_w, out_b,
                             lin_w, lin_b, bidirectional, num_heads,
-                            lookback, block_seqs, sub, interpret)
+                            lookback, block_seqs, sub, interpret,
+                            save_hidden=not jnp_bwd)
+    if jnp_bwd:
+        hid = None
+    else:
+        out, hid = out
     return out, (x, ln1s, ln1b, w_ih, w_hh, b_ih, b_hh, ln2s, ln2b,
-                 in_w, in_b, out_w, out_b, lin_w, lin_b)
+                 in_w, in_b, out_w, out_b, lin_w, lin_b, hid)
 
 
 def _fused_ftf_bwd(bidirectional, num_heads, lookback, block_seqs, sub,
                    interpret, res, g):
-    _, vjp = jax.vjp(
-        lambda *args: ftf_block_reference(
-            *args, bidirectional=bidirectional, num_heads=num_heads,
-            lookback=lookback),
-        *res)
-    return vjp(g)
+    *primals, hid = res
+    if hid is None:  # LCT_FTF_JNP_BWD escape hatch: jnp recompute VJP
+        _, vjp = jax.vjp(
+            lambda *args: ftf_block_reference(
+                *args, bidirectional=bidirectional, num_heads=num_heads,
+                lookback=lookback),
+            *primals)
+        return vjp(g)
+    from lct_gan_tpu.ops.ftf_bwd import fused_ftf_bwd
+    return fused_ftf_bwd(*primals, hid, g, bidirectional=bidirectional,
+                         num_heads=num_heads, lookback=lookback,
+                         interpret=interpret)
 
 
 _fused_ftf.defvjp(_fused_ftf_fwd, _fused_ftf_bwd)

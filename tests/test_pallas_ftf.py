@@ -78,16 +78,78 @@ def test_fused_ftf_no_cross_sequence_leak():
     assert np.max(np.abs(np.asarray(out1[0] - out2[0]))) > 1e-3
 
 
+def _reference_hidden(x, p, bidi, G=4):
+    """Per-direction GRU hidden states, exactly as the f32 reference
+    computes them (the backward kernel's `hid` input)."""
+    from lct_gan_tpu.ops.ftf import _layer_norm
+    n1 = _layer_norm(x, p["ln1_scale"], p["ln1_bias"])
+    N, L, C = n1.shape
+    H = C // G
+    D = 2 if bidi else 1
+    xg = n1.reshape(N, L, G, H).transpose(1, 0, 2, 3)
+    h0 = jnp.zeros((N, G, H), jnp.float32)
+    outs = []
+    for d in range(D):
+        xp = jnp.einsum("sbgi,gio->sbgo", xg, p["w_ih"][d]) + p["b_ih"][d]
+
+        def step(h, xpt, d=d):
+            hp = jnp.einsum("bgh,gho->bgo", h, p["w_hh"][d]) + p["b_hh"][d]
+            r = jax.nn.sigmoid(xpt[..., :H] + hp[..., :H])
+            z = jax.nn.sigmoid(xpt[..., H:2 * H] + hp[..., H:2 * H])
+            n = jnp.tanh(xpt[..., 2 * H:] + r * hp[..., 2 * H:])
+            hn = (1.0 - z) * n + z * h
+            return hn, hn
+
+        _, ys = jax.lax.scan(step, h0, xp, reverse=(d == 1))
+        outs.append(ys.transpose(1, 0, 2, 3).reshape(N, L, C))
+    return jnp.concatenate(outs, -1)
+
+
+@pytest.mark.parametrize("bidi,lookback", [
+    (True, None), (False, None), (False, 5),
+])
+def test_ftf_bwd_kernel_structurally_exact(bidi, lookback):
+    """The fused backward kernel (ops/ftf_bwd.py) run in `precise` mode on
+    the EXACT reference hidden states must reproduce jax.vjp through the
+    f32 reference for x and every parameter -- this proves the backward
+    wiring (gate VJP, BPTT chain, softmax VJP, LN backward, all the
+    hoisted weight-grad GEMMs, cross-tile accumulation) with no
+    reduced-precision noise in the comparison."""
+    from lct_gan_tpu.ops.ftf_bwd import fused_ftf_bwd
+
+    p = _make_params(jax.random.PRNGKey(4), bidirectional=bidi, concat=bidi)
+    x = jax.random.normal(jax.random.PRNGKey(5), (6, 9, 64), jnp.float32)
+    w = jax.random.normal(jax.random.PRNGKey(6), x.shape, jnp.float32)
+    args = (x, p["ln1_scale"], p["ln1_bias"], p["w_ih"], p["w_hh"],
+            p["b_ih"], p["b_hh"], p["ln2_scale"], p["ln2_bias"],
+            p["in_w"], p["in_b"], p["out_w"], p["out_b"],
+            p["lin_w"], p["lin_b"])
+    _, vjp = jax.vjp(lambda *a: ftf_block_reference(
+        *a, bidirectional=bidi, num_heads=4, lookback=lookback), *args)
+    ref_grads = vjp(w)
+
+    hid = _reference_hidden(x, p, bidi)
+    grads = fused_ftf_bwd(*args, hid, w, bidirectional=bidi, num_heads=4,
+                          lookback=lookback, block_seqs=4, sub=2,
+                          interpret=True, precise=True)
+    assert len(grads) == len(ref_grads)
+    for got, want in zip(grads, ref_grads):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-5, atol=2e-5)
+
+
 @pytest.mark.parametrize("bidi", [True, False])
 def test_fused_ftf_grad_parity(bidi):
-    """Custom VJP (backward = jnp reference recompute) must match direct
-    autodiff through the reference for x AND every parameter."""
+    """End-to-end custom VJP (fused Pallas backward fed by the fused
+    forward's saved hiddens) vs direct autodiff through the f32 reference.
+    The comparison tolerance is a NOISE BAND, not exactness: the fused
+    forward's bf16 recurrence GEMMs perturb the hidden states, and the
+    backward is intentionally consistent with the kernel's own forward
+    (see test_ftf_bwd_kernel_structurally_exact for the exact-wiring
+    gate). Guards against sign flips, dropped terms, and mis-scaled
+    gradients, which all produce O(1) relative error."""
     p = _make_params(jax.random.PRNGKey(4), bidirectional=bidi, concat=bidi)
     x = jax.random.normal(jax.random.PRNGKey(5), (4, 9, 64), jnp.float32)
-    # Linear loss -> the cotangent entering the VJP is the same constant
-    # on both paths, so this isolates the custom-VJP wiring itself (the
-    # backward recompute runs the f32 reference in both cases) and the
-    # comparison can be tight.
     w = jax.random.normal(jax.random.PRNGKey(6), x.shape, jnp.float32)
 
     def loss(fused, x, p):
@@ -99,9 +161,10 @@ def test_fused_ftf_grad_parity(bidi):
     g_fused = jax.grad(loss, argnums=(1, 2))(True, x, p)
     for ref_leaf, fused_leaf in zip(jax.tree.leaves(g_ref),
                                     jax.tree.leaves(g_fused)):
-        np.testing.assert_allclose(np.asarray(fused_leaf),
-                                   np.asarray(ref_leaf),
-                                   rtol=1e-4, atol=1e-4)
+        a, b = np.asarray(fused_leaf), np.asarray(ref_leaf)
+        scale = np.max(np.abs(b)) + 1e-6
+        assert np.max(np.abs(a - b)) / scale < 0.2, (a, b)
+        assert np.corrcoef(a.ravel(), b.ravel())[0, 1] > 0.995
 
 
 @pytest.mark.parametrize("block_cls,kw", [
