@@ -168,3 +168,53 @@ if __name__ == "__main__" and "--phase" in sys.argv:
             tf_ = timeit(f, x, w); tw = timeit(wg_, w, x); ti = timeit(ig, x, w)
             print(f"{name:9s} {label}: {tf_:7.2f} / {tw:7.2f} / {ti:7.2f}"
                   f"  maxerr={err:.3f}", flush=True)
+
+
+def conv_fold(x, w, stride, pad, groups):
+    """Stride-s conv1d as ONE stride-1 conv over phase-folded channels:
+    x [B,T,C] -> [B,T/s,s*C] (per-group channel order (p, ci)), kernel
+    [K,Ci,Co] -> [ceil(K/s), s*Ci, Co] zero-padded. No strided or dilated
+    conv appears in the forward OR its gradients."""
+    if stride == 1:
+        return conv_xla(x, w, stride, pad, groups)
+    K, cin_g, Co = w.shape
+    s = stride
+    B_, T, C = x.shape
+    Tp = T + 2 * pad
+    Tout = (Tp - K) // s + 1
+    K2 = -(-K // s)
+    U = max(-(-Tp // s), Tout + K2 - 1)
+    xp = jnp.pad(x, ((0, 0), (pad, pad + U * s - Tp), (0, 0))).astype(DT)
+    g = groups
+    xs = xp.reshape(B_, U, s, g, cin_g)
+    xs = jnp.transpose(xs, (0, 1, 3, 2, 4)).reshape(B_, U, s * C)
+    w2 = jnp.zeros((K2, s, cin_g, Co), w.dtype)
+    for k in range(K):
+        w2 = w2.at[k // s, k % s].set(w[k])
+    w2 = w2.reshape(K2, s * cin_g, Co)
+    y = jax.lax.conv_general_dilated(
+        xs, w2.astype(DT), (1,), ((0, 0),),
+        dimension_numbers=("NWC", "WIO", "NWC"),
+        feature_group_count=g, preferred_element_type=DT)
+    return y[:, :Tout]
+
+
+if __name__ == "__main__" and "--fold" in sys.argv:
+    print("\nfold variant:")
+    for name, T, K, s, Ci, Co, g, pad in MSD_LAYERS[1:5]:
+        x = jnp.asarray(rng.standard_normal((B, T, Ci)).astype(np.float32))
+        w = jnp.asarray(
+            rng.standard_normal((K, Ci // g, Co)).astype(np.float32) * 0.05)
+        ref = conv_xla(x, w, s, pad, g)
+        got = conv_fold(x, w, s, pad, g)
+        err = float(jnp.max(jnp.abs(got.astype(jnp.float32) -
+                                    ref.astype(jnp.float32))))
+        f = jax.jit(lambda x, w: jnp.sum(
+            conv_fold(x, w, s, pad, g).astype(jnp.float32) ** 2))
+        wg_ = jax.jit(jax.grad(lambda w, x: jnp.sum(
+            conv_fold(x, w, s, pad, g).astype(jnp.float32) ** 2)))
+        ig = jax.jit(jax.grad(lambda x, w: jnp.sum(
+            conv_fold(x, w, s, pad, g).astype(jnp.float32) ** 2)))
+        tf_ = timeit(f, x, w); tw = timeit(wg_, w, x); ti = timeit(ig, x, w)
+        print(f"{name:9s} fold : {tf_:7.2f} / {tw:7.2f} / {ti:7.2f}"
+              f"  maxerr={err:.3f}", flush=True)
