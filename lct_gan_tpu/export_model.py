@@ -1,0 +1,119 @@
+"""Serialized-model export: the TPU-native counterpart to the reference's
+TorchScript artifact.
+
+The reference ships its ground-truth model as `FTFNet_scripted.pt`
+(a TorchScript program with the weights baked in, loadable without the
+model code -- Experiments/LCT-GAN model.ipynb). The JAX-native
+equivalent is `jax.export`: the jitted enhancer is traced at fixed
+bucket shapes, lowered to versioned StableHLO with the parameters baked
+in as constants, and serialized. The artifact is self-contained --
+`load_exported()` needs only jax, not this package's model code -- and
+portable across backends (CPU/TPU) and jax releases within the StableHLO
+compatibility window.
+
+Artifact layout: a single .zip containing `meta.json` (sample rate,
+compress_c, max_time_context, shape table) and one `b<B>_t<T>.shlo`
+blob per exported (batch, samples) bucket.
+"""
+
+from __future__ import annotations
+
+import json
+import zipfile
+from typing import Dict, List, Sequence, Tuple
+
+import numpy as np
+
+__all__ = ["export_enhancer", "load_exported", "ExportedEnhancer"]
+
+
+def export_enhancer(path: str, g_params, cfg,
+                    shapes: Sequence[Tuple[int, int]],
+                    keep_pallas: bool = False) -> None:
+    """Serialize the enhancer at each (batch, samples) shape into `path`.
+
+    cfg is a TrainConfig (supplies compress_c / max_time_context /
+    sample_rate); parameters are baked into the program as constants.
+
+    By default the artifact uses the pure-jnp compute path and is lowered
+    for BOTH cpu and tpu (Pallas custom-calls would pin the artifact to
+    one backend and one Mosaic serialization version). keep_pallas=True
+    bakes the fused TPU kernels for maximum on-TPU throughput at the cost
+    of portability.
+    """
+    import os
+
+    import jax
+    import jax.numpy as jnp
+    from jax import export as jexport
+
+    from lct_gan_tpu.train.state import build_models
+
+    enhancer, _, _ = build_models(cfg)
+
+    def enhance(noisy):
+        out, mask = enhancer.apply({"params": g_params}, noisy)
+        return out, mask
+
+    meta = {
+        "format": 1,
+        "sample_rate": int(cfg.sample_rate),
+        "compress_c": float(cfg.compress_c),
+        "max_time_context": cfg.max_time_context,
+        "pallas": bool(keep_pallas),
+        "shapes": [[int(b), int(t)] for b, t in shapes],
+    }
+    prev = os.environ.get("LCT_NO_PALLAS")
+    if not keep_pallas:
+        os.environ["LCT_NO_PALLAS"] = "1"  # dispatch reads env at trace time
+    try:
+        kw = {} if keep_pallas else {"platforms": ("cpu", "tpu")}
+        with zipfile.ZipFile(path, "w", zipfile.ZIP_DEFLATED) as z:
+            z.writestr("meta.json", json.dumps(meta, indent=1))
+            for b, t in shapes:
+                exp = jexport.export(jax.jit(enhance), **kw)(
+                    jax.ShapeDtypeStruct((b, t), jnp.float32))
+                z.writestr(f"b{b}_t{t}.shlo", exp.serialize())
+    finally:
+        if not keep_pallas:
+            if prev is None:
+                os.environ.pop("LCT_NO_PALLAS", None)
+            else:
+                os.environ["LCT_NO_PALLAS"] = prev
+
+
+class ExportedEnhancer:
+    """Loaded artifact: callable over [B, T] float32 with automatic
+    bucket selection (zero-pad up to the smallest covering shape)."""
+
+    def __init__(self, meta: Dict, programs: Dict[Tuple[int, int], object]):
+        self.meta = meta
+        self._programs = programs
+        self.shapes: List[Tuple[int, int]] = sorted(programs)
+
+    def __call__(self, noisy: np.ndarray) -> np.ndarray:
+        noisy = np.asarray(noisy, np.float32)
+        b, t = noisy.shape
+        fits = [(bb, tt) for bb, tt in self.shapes if bb >= b and tt >= t]
+        if not fits:
+            raise ValueError(
+                f"no exported shape covers {noisy.shape}; have "
+                f"{self.shapes}")
+        bb, tt = min(fits, key=lambda s: s[0] * s[1])
+        padded = np.zeros((bb, tt), np.float32)
+        padded[:b, :t] = noisy
+        out, _mask = self._programs[(bb, tt)].call(padded)
+        return np.asarray(out)[:b, :t]
+
+
+def load_exported(path: str) -> ExportedEnhancer:
+    """Load an artifact written by export_enhancer. Requires only jax."""
+    from jax import export as jexport
+
+    with zipfile.ZipFile(path) as z:
+        meta = json.loads(z.read("meta.json").decode())
+        programs = {}
+        for b, t in meta["shapes"]:
+            programs[(b, t)] = jexport.deserialize(
+                z.read(f"b{b}_t{t}.shlo"))
+    return ExportedEnhancer(meta, programs)
