@@ -116,7 +116,11 @@ def pick_ftf_tile(length: int, save_hidden: bool = False) -> Tuple[int, int]:
     if length <= 48:
         return 256, 8     # freq axis (L=33): 13.4 ms/block
     if length <= 160:
-        return (64, 2) if save_hidden else (128, 2)  # time axis (L~129)
+        # Equal to (128,2) at the train-segment L=126 (11.3 vs 11.0 ms)
+        # but 1.4x faster at Lp=136-class lengths that bucketed eval
+        # hits (12.4 vs 17.9 ms, v5e re-sweep after the f32 xp scratch);
+        # training halves for the hid output.
+        return (64, 2) if save_hidden else (96, 2)   # time axis (L~129)
     if length <= 320:
         return (16, 2) if save_hidden else (32, 2)
     return (8, 1) if save_hidden else (16, 1)

@@ -85,10 +85,28 @@ def make_train_step(cfg: TrainConfig):
         fake_for_d = jax.lax.stop_gradient(fake_for_d)
 
         def d_loss_fn(d_params, spectral):
-            sp_mpd = spectral["mpd"] if use_sn else None
-            sp_msd = spectral["msd"] if use_sn else None
-            # Forward order matches the reference (train.py:184-189);
-            # power-iteration state is sequential across forwards.
+            if not use_sn:
+                # Real+fake CONCAT-batched through each stack: identical
+                # math (every discriminator op is per-sample), but ONE
+                # conv graph at 2B instead of two at B -- measured 1.9x
+                # faster fwd+bwd on v5e (143 -> 75 ms at B=64 bf16).
+                both = jnp.concatenate([clean, fake_for_d], axis=0)
+                b = clean.shape[0]
+                (mpd_l, _), _ = apply_disc(mpd, d_params["mpd"], None, both)
+                (msd_l, _), _ = apply_disc(msd, d_params["msd"], None, both)
+                loss = discriminator_loss(
+                    flatten_logits_lists([l[:b] for l in mpd_l],
+                                         [l[:b] for l in msd_l]),
+                    flatten_logits_lists([l[b:] for l in mpd_l],
+                                         [l[b:] for l in msd_l]),
+                    loss_type=cfg.gan_loss)
+                return loss, None
+            # Spectral norm: forward order matches the reference
+            # (train.py:184-189) -- each forward runs one power
+            # iteration, so the u/v trajectory depends on the sequence
+            # and concat-batching would change it.
+            sp_mpd = spectral["mpd"]
+            sp_msd = spectral["msd"]
             (mpd_real, _), sp_mpd = apply_disc(
                 mpd, d_params["mpd"], sp_mpd, clean)
             (mpd_fake, _), sp_mpd = apply_disc(
@@ -101,8 +119,7 @@ def make_train_step(cfg: TrainConfig):
                 flatten_logits_lists(mpd_real, msd_real),
                 flatten_logits_lists(mpd_fake, msd_fake),
                 loss_type=cfg.gan_loss)
-            new_sp = {"mpd": sp_mpd, "msd": sp_msd} if use_sn else None
-            return loss, new_sp
+            return loss, {"mpd": sp_mpd, "msd": sp_msd}
 
         d_params = {"mpd": state.mpd_params, "msd": state.msd_params}
         (d_loss, spectral), d_grads = jax.value_and_grad(
@@ -119,20 +136,42 @@ def make_train_step(cfg: TrainConfig):
             irm_a, pred_a = align_tf_targets(irm_c, mask_c[:, 0])
             m_loss = mask_mse_loss(pred_a, irm_a)
 
-            sp_mpd = spectral["mpd"] if use_sn else None
-            sp_msd = spectral["msd"] if use_sn else None
-            (mpd_out, sp_mpd_1) = apply_disc(
-                mpd, d_params["mpd"], sp_mpd, enhanced)
-            mpd_fake, mpd_fake_fm = mpd_out
-            (msd_out, sp_msd_1) = apply_disc(
-                msd, d_params["msd"], sp_msd, enhanced)
-            msd_fake, msd_fake_fm = msd_out
-            ((_, mpd_real_fm), sp_mpd_2) = apply_disc(
-                mpd, d_params["mpd"], sp_mpd_1, clean)
-            ((_, msd_real_fm), sp_msd_2) = apply_disc(
-                msd, d_params["msd"], sp_msd_1, clean)
-            mpd_real_fm = jax.lax.stop_gradient(mpd_real_fm)
-            msd_real_fm = jax.lax.stop_gradient(msd_real_fm)
+            if not use_sn:
+                # Same concat-batching as the D step: fake+real through
+                # each stack once. Row independence keeps the math
+                # identical; the real rows depend only on `clean`, so no
+                # generator gradient flows through them (stop_gradient
+                # kept for clarity).
+                b = enhanced.shape[0]
+                both = jnp.concatenate([enhanced, clean], axis=0)
+                ((mpd_l, mpd_fm), _) = apply_disc(
+                    mpd, d_params["mpd"], None, both)
+                ((msd_l, msd_fm), _) = apply_disc(
+                    msd, d_params["msd"], None, both)
+                mpd_fake = [l[:b] for l in mpd_l]
+                msd_fake = [l[:b] for l in msd_l]
+                mpd_fake_fm = [[f[:b] for f in fs] for fs in mpd_fm]
+                msd_fake_fm = [[f[:b] for f in fs] for fs in msd_fm]
+                mpd_real_fm = jax.lax.stop_gradient(
+                    [[f[b:] for f in fs] for fs in mpd_fm])
+                msd_real_fm = jax.lax.stop_gradient(
+                    [[f[b:] for f in fs] for fs in msd_fm])
+                sp_mpd_2 = sp_msd_2 = None
+            else:
+                sp_mpd = spectral["mpd"]
+                sp_msd = spectral["msd"]
+                (mpd_out, sp_mpd_1) = apply_disc(
+                    mpd, d_params["mpd"], sp_mpd, enhanced)
+                mpd_fake, mpd_fake_fm = mpd_out
+                (msd_out, sp_msd_1) = apply_disc(
+                    msd, d_params["msd"], sp_msd, enhanced)
+                msd_fake, msd_fake_fm = msd_out
+                ((_, mpd_real_fm), sp_mpd_2) = apply_disc(
+                    mpd, d_params["mpd"], sp_mpd_1, clean)
+                ((_, msd_real_fm), sp_msd_2) = apply_disc(
+                    msd, d_params["msd"], sp_msd_1, clean)
+                mpd_real_fm = jax.lax.stop_gradient(mpd_real_fm)
+                msd_real_fm = jax.lax.stop_gradient(msd_real_fm)
 
             adv_loss = generator_adv_loss(
                 flatten_logits_lists(mpd_fake, msd_fake),
