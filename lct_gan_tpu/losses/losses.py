@@ -201,7 +201,9 @@ def feature_matching_loss(real_fmaps: Sequence[Sequence[jax.Array]],
                 f"one sub-discriminator produced {len(r_list)} real but "
                 f"{len(f_list)} fake feature maps")
         for r, f in zip(r_list, f_list):
-            loss = loss + jnp.mean(jnp.abs(f - r))
+            # dtype=f32: feature maps may arrive bf16 (discriminator
+            # --bf16 compute path); the mean must accumulate in f32.
+            loss = loss + jnp.mean(jnp.abs(f - r), dtype=jnp.float32)
             count += 1
     if count == 0:
         return jnp.asarray(0.0)

@@ -81,7 +81,11 @@ class PeriodDiscriminator(nn.Module):
                 dtype=self.dtype,
                 name=f"conv{i}")(h)
             h = _leaky(h)
-            fmaps.append(h.astype(jnp.float32))
+            # fmaps stay in the compute dtype: under --bf16 the f32
+            # upcast cost ~14 ms/step of convert+write traffic (xprof)
+            # and doubled the FM-loss reads; the FM loss accumulates in
+            # f32 regardless (losses.feature_matching_loss).
+            fmaps.append(h)
         h = conv_cls(
             features=1, kernel_size=(3, 1), strides=(1, 1), padding=(1, 0),
             dtype=self.dtype, name="conv_post")(h)
@@ -160,7 +164,7 @@ class ScaleDiscriminator(nn.Module):
                 padding=(k // 2,), groups=g, dtype=self.dtype,
                 name=f"conv{i}")(h)
             h = _leaky(h)
-            fmaps.append(h.astype(jnp.float32))
+            fmaps.append(h)  # compute dtype; see PeriodDiscriminator
         h = conv_cls(features=1, kernel_size=(3,), strides=(1,),
                      padding=(1,), dtype=self.dtype, name="conv_post")(h)
         h = h.astype(jnp.float32)
