@@ -27,6 +27,7 @@ SECONDS = 2.0
 SR = 16000
 WARMUP = 3
 ITERS = 10
+REPS = 3  # median-of-REPS timing loops: reproducible headline number
 
 
 def log(msg):
@@ -66,14 +67,17 @@ def main():
     for _ in range(WARMUP):
         float(jnp.sum(enhance(params, wave)))
 
-    t0 = time.time()
-    outs = [enhance(params, wave) for _ in range(ITERS)]
-    float(jnp.sum(outs[-1]))
-    dt = time.time() - t0
-
     audio_sec = BATCH * SECONDS * ITERS
-    value = audio_sec / dt
-    log(f"{ITERS} iters x {BATCH}x{SECONDS:.0f}s in {dt:.3f}s")
+    values = []
+    for rep in range(REPS):
+        t0 = time.time()
+        outs = [enhance(params, wave) for _ in range(ITERS)]
+        float(jnp.sum(outs[-1]))
+        dt = time.time() - t0
+        values.append(audio_sec / dt)
+        log(f"rep {rep + 1}/{REPS}: {ITERS} iters x {BATCH}x{SECONDS:.0f}s "
+            f"in {dt:.3f}s ({values[-1]:.1f} audio-sec/s)")
+    value = sorted(values)[len(values) // 2]
     print(json.dumps({
         "metric": "enhanced_audio_throughput",
         "value": round(value, 2),

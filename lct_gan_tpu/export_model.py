@@ -41,12 +41,13 @@ def export_enhancer(path: str, g_params, cfg,
     bakes the fused TPU kernels for maximum on-TPU throughput at the cost
     of portability.
     """
-    import os
+    import contextlib
 
     import jax
     import jax.numpy as jnp
     from jax import export as jexport
 
+    from lct_gan_tpu.ops.dispatch import pallas_override
     from lct_gan_tpu.train.state import build_models
 
     enhancer, _, _ = build_models(cfg)
@@ -63,23 +64,17 @@ def export_enhancer(path: str, g_params, cfg,
         "pallas": bool(keep_pallas),
         "shapes": [[int(b), int(t)] for b, t in shapes],
     }
-    prev = os.environ.get("LCT_NO_PALLAS")
-    if not keep_pallas:
-        os.environ["LCT_NO_PALLAS"] = "1"  # dispatch reads env at trace time
-    try:
-        kw = {} if keep_pallas else {"platforms": ("cpu", "tpu")}
-        with zipfile.ZipFile(path, "w", zipfile.ZIP_DEFLATED) as z:
-            z.writestr("meta.json", json.dumps(meta, indent=1))
-            for b, t in shapes:
-                exp = jexport.export(jax.jit(enhance), **kw)(
-                    jax.ShapeDtypeStruct((b, t), jnp.float32))
-                z.writestr(f"b{b}_t{t}.shlo", exp.serialize())
-    finally:
-        if not keep_pallas:
-            if prev is None:
-                os.environ.pop("LCT_NO_PALLAS", None)
-            else:
-                os.environ["LCT_NO_PALLAS"] = prev
+    # Portable artifacts trace the jnp path via a scoped dispatch override
+    # (contextvar, not env mutation -- safe around concurrent traces).
+    ctx = (contextlib.nullcontext() if keep_pallas
+           else pallas_override(None))
+    kw = {} if keep_pallas else {"platforms": ("cpu", "tpu")}
+    with ctx, zipfile.ZipFile(path, "w", zipfile.ZIP_DEFLATED) as z:
+        z.writestr("meta.json", json.dumps(meta, indent=1))
+        for b, t in shapes:
+            exp = jexport.export(jax.jit(enhance), **kw)(
+                jax.ShapeDtypeStruct((b, t), jnp.float32))
+            z.writestr(f"b{b}_t{t}.shlo", exp.serialize())
 
 
 class ExportedEnhancer:

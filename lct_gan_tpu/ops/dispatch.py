@@ -12,17 +12,41 @@ and in which mode?" so every op (attention, FTF block) gates identically:
 
 from __future__ import annotations
 
+import contextlib
+import contextvars
 import os
-from typing import Optional
+from typing import Iterator, Optional
 
 import jax
 
-__all__ = ["pallas_mode"]
+__all__ = ["pallas_mode", "pallas_override"]
+
+_UNSET = object()
+_override: contextvars.ContextVar = contextvars.ContextVar(
+    "lct_pallas_override", default=_UNSET)
+
+
+@contextlib.contextmanager
+def pallas_override(mode: Optional[str]) -> Iterator[None]:
+    """Scoped dispatch override for the current context: None (jnp path),
+    'interpret', or 'compiled'. Takes precedence over the env vars, without
+    mutating process-global state -- safe around concurrent traces (e.g.
+    export during a live training run)."""
+    if mode not in (None, "interpret", "compiled"):
+        raise ValueError(f"invalid pallas mode {mode!r}")
+    token = _override.set(mode)
+    try:
+        yield
+    finally:
+        _override.reset(token)
 
 
 def pallas_mode() -> Optional[str]:
     """None = jnp path; 'compiled' = fused TPU kernels; 'interpret' =
     fused kernels in interpreter mode (CPU-testable production path)."""
+    ov = _override.get()
+    if ov is not _UNSET:
+        return ov
     if os.environ.get("LCT_NO_PALLAS"):
         return None
     if os.environ.get("LCT_PALLAS_INTERPRET"):

@@ -226,7 +226,10 @@ def _ftf_kernel(x_ref, wih_ref, whh_ref, bih_ref, bhh_ref,
                          preferred_element_type=jnp.float32) * scale + bias
             m = jnp.max(sc, axis=-1, keepdims=True)
             p = jnp.exp(sc - m)
-            # +tiny: padded query rows have every key masked (denom 0).
+            # Padded query rows (pos % Lp >= L) still attend to their
+            # sequence's VALID keys (_block_mask_bias masks key positions
+            # only), so their outputs are garbage-but-finite; they are
+            # sliced off after the kernel. +tiny is a pure safety guard.
             denom = jnp.sum(p, axis=-1, keepdims=True) + 1e-20
             ctx = jnp.dot(p.astype(bf16), v,
                           preferred_element_type=jnp.float32) / denom

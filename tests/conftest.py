@@ -29,3 +29,8 @@ _cache_dir = os.path.join(os.path.dirname(__file__), "..", ".jax_cache")
 os.makedirs(_cache_dir, exist_ok=True)
 jax.config.update("jax_compilation_cache_dir", os.path.abspath(_cache_dir))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: long-running test (full train-loop drives)")
