@@ -73,56 +73,85 @@ def _pad_batch_to(batch: Dict[str, Any], size: int) -> Dict[str, Any]:
     return out
 
 
+def _score_utterance(ref: np.ndarray, est: np.ndarray, sample_rate: int,
+                     compute_pesq: bool, compute_stoi: bool):
+    """Host-side PESQ/STOI for one utterance, with the reference's
+    exception-swallowing (train.py:343-364). Returns (pesq, stoi) with
+    NaN marking unavailable/failed."""
+    p = s = float("nan")
+    if compute_pesq:
+        try:
+            p = pesq_score(ref, est, sample_rate, "wb")
+        except Exception:
+            pass
+    if compute_stoi:
+        try:
+            s = stoi_score(ref, est, sample_rate)
+        except Exception:
+            pass
+    return p, s
+
+
 def validate(eval_step, g_params, val_ds: ScpDataset, cfg: TrainConfig,
              batch_size: int, compute_pesq: bool = True,
-             compute_stoi: bool = True) -> Dict[str, float]:
+             compute_stoi: bool = True, num_workers: int = 4
+             ) -> Dict[str, float]:
     """Full-utterance validation (reference: train.py:285-385).
 
-    MR-STFT and SI-SDR on device (length-masked); PESQ/STOI per utterance
-    on host, with the reference's exception-swallowing for edge cases.
+    MR-STFT and SI-SDR on device (length-masked). PESQ/STOI are scored on
+    a host worker pool CONCURRENTLY with the next batches' device eval --
+    the reference serializes them after each batch (train.py:324-364),
+    idling the accelerator for the whole host pass. Results are
+    accumulated in submission order, so they are bit-identical to the
+    serial loop.
     """
+    from concurrent.futures import ThreadPoolExecutor
+
     total_mr = 0.0
     total_si = 0.0
-    total_pesq, n_pesq = 0.0, 0
-    total_stoi, n_stoi = 0.0, 0
     count = 0
+    futures = []
 
-    for batch in batch_iterator(val_ds, batch_size, bucket=True):
-        b = batch["noisy"].shape[0]
-        padded = _pad_batch_to(batch, batch_size)
-        lengths = np.asarray(padded["lengths"])
-        enhanced, m = eval_step(g_params, padded["noisy"], padded["clean"],
-                                lengths)
-        enhanced = np.asarray(enhanced)
-        # Per-sample MR-STFT: count only the b valid rows (padded tail rows
-        # are duplicates and must not bias the mean / best-ckpt selection).
-        total_mr += float(np.asarray(m["mrstft"])[:b].sum())
-        si = np.asarray(m["si_sdr"])[:b]
-        total_si += float(si.sum())
+    def run(pool):
+        nonlocal total_mr, total_si, count
+        for batch in batch_iterator(val_ds, batch_size, bucket=True):
+            b = batch["noisy"].shape[0]
+            padded = _pad_batch_to(batch, batch_size)
+            lengths = np.asarray(padded["lengths"])
+            enhanced, m = eval_step(g_params, padded["noisy"],
+                                    padded["clean"], lengths)
+            enhanced = np.asarray(enhanced)
+            # Per-sample MR-STFT: count only the b valid rows (padded tail
+            # rows are duplicates and must not bias the mean / best-ckpt
+            # selection).
+            total_mr += float(np.asarray(m["mrstft"])[:b].sum())
+            total_si += float(np.asarray(m["si_sdr"])[:b].sum())
 
-        for i in range(b):
-            L = int(lengths[i])
-            if L <= 0:
-                continue
-            ref = np.asarray(batch["clean"][i, :L])
-            est = enhanced[i, :L]
-            if compute_pesq:
-                try:
-                    v = pesq_score(ref, est, cfg.sample_rate, "wb")
-                    if math.isfinite(v):
-                        total_pesq += v
-                        n_pesq += 1
-                except Exception:
-                    pass
-            if compute_stoi:
-                try:
-                    v = stoi_score(ref, est, cfg.sample_rate)
-                    if math.isfinite(v):
-                        total_stoi += v
-                        n_stoi += 1
-                except Exception:
-                    pass
-        count += b
+            if compute_pesq or compute_stoi:
+                for i in range(b):
+                    L = int(lengths[i])
+                    if L <= 0:
+                        continue
+                    ref = np.array(batch["clean"][i, :L], copy=True)
+                    est = np.array(enhanced[i, :L], copy=True)
+                    futures.append(pool.submit(
+                        _score_utterance, ref, est, cfg.sample_rate,
+                        compute_pesq, compute_stoi))
+            count += b
+
+    with ThreadPoolExecutor(max_workers=max(1, num_workers)) as pool:
+        run(pool)
+        scores = [f.result() for f in futures]
+
+    total_pesq = n_pesq = 0
+    total_stoi = n_stoi = 0
+    for p, s in scores:
+        if math.isfinite(p):
+            total_pesq += p
+            n_pesq += 1
+        if math.isfinite(s):
+            total_stoi += s
+            n_stoi += 1
 
     return {
         "val_mrstft": total_mr / max(count, 1),
