@@ -225,6 +225,89 @@ def test_data_parallel_train_step_matches_single_device():
                 b, a, rtol=1e-3, atol=2e-6, err_msg=name)
 
 
+def test_fused_kernel_train_step_sharded():
+    """The PRODUCTION v5e-8 training configuration: the full GAN train
+    step with the fused Pallas FTF forward AND backward kernels (dispatch
+    via pallas_override('interpret'), pallas_call included) over the
+    8-device sharded batch axis. Asserts
+      (a) kernel-path sharded step == kernel-path single-device step
+          (DP correctness of the kernel path itself), and
+      (b) kernel-path step == jnp-path step within the documented kernel
+          noise band (bf16 matmuls inside the kernels; see
+          tests/test_pallas_ftf.py) -- for losses AND the applied
+          parameter updates.
+    This was the last untested leg of the real training configuration
+    (round-2 verdict): the fused backward kernel had never run inside a
+    train step or under sharding."""
+    from lct_gan_tpu.ops.dispatch import pallas_override
+
+    assert jax.device_count() >= 8
+    mesh = make_mesh()
+    cfg = TrainConfig(segment_seconds=0.25, batch_size=8)
+    state0 = create_state(cfg, jax.random.PRNGKey(0))
+
+    rng = np.random.default_rng(4)
+    seg = cfg.segment_length
+    clean = (rng.standard_normal((8, seg)) * 0.1).astype(np.float32)
+    noisy = clean + (rng.standard_normal((8, seg)) * 0.05).astype(np.float32)
+    noisy_j, clean_j = jnp.asarray(noisy), jnp.asarray(clean)
+
+    # jnp path, single device (the well-tested baseline).
+    ref_state, ref_metrics = jax.jit(make_train_step(cfg))(
+        state0, noisy_j, clean_j)
+
+    repl = replicated_sharding(mesh)
+    bsh = batch_sharding(mesh)
+    with pallas_override("interpret"):
+        one_state, one_metrics = jax.jit(make_train_step(cfg))(
+            state0, noisy_j, clean_j)
+        sharded = jax.jit(
+            make_train_step(cfg),
+            in_shardings=(repl, bsh, bsh),
+            out_shardings=(repl, repl),
+        )
+        dp_state, dp_metrics = sharded(
+            jax.device_put(state0, repl),
+            jax.device_put(noisy_j, bsh),
+            jax.device_put(clean_j, bsh))
+
+    # (a) kernel path: sharded == single-device (tight -- same numerics).
+    # atol 1e-5 (vs the jnp DP test's 2e-6): the 8-way gradient all-reduce
+    # reassociates the bf16-GEMM kernel grads, and AdamW's first step is
+    # ~lr*sign(g), so elements near a sign boundary move a few e-6 --
+    # still ~20x below the ~2e-4 update magnitude being asserted.
+    for k in one_metrics:
+        np.testing.assert_allclose(
+            float(dp_metrics[k]), float(one_metrics[k]),
+            rtol=2e-4, atol=1e-6, err_msg=f"kernel DP metric {k}")
+    for name, a_p, b_p in (
+        ("g_params", one_state.g_params, dp_state.g_params),
+        ("mpd_params", one_state.mpd_params, dp_state.mpd_params),
+        ("msd_params", one_state.msd_params, dp_state.msd_params),
+    ):
+        for a, b in zip(jax.tree.leaves(jax.tree.map(np.asarray, a_p)),
+                        jax.tree.leaves(jax.tree.map(np.asarray, b_p))):
+            np.testing.assert_allclose(b, a, rtol=1e-3, atol=1e-5,
+                                       err_msg=f"kernel DP {name}")
+
+    # (b) kernel path vs jnp path: losses within the kernel noise band.
+    for k in ref_metrics:
+        np.testing.assert_allclose(
+            float(dp_metrics[k]), float(ref_metrics[k]),
+            rtol=5e-2, atol=5e-3, err_msg=f"kernel-vs-jnp metric {k}")
+    # Updates (new - old) must point the same way: per-tensor update
+    # vectors highly correlated, and no update exceeds the AdamW
+    # trust-region-ish bound (~lr per step plus weight decay).
+    lr = cfg.lr_g
+    old = jax.tree.leaves(jax.tree.map(np.asarray, state0.g_params))
+    ker = jax.tree.leaves(jax.tree.map(np.asarray, dp_state.g_params))
+    ref = jax.tree.leaves(jax.tree.map(np.asarray, ref_state.g_params))
+    ker_upd = np.concatenate([(k - o).ravel() for k, o in zip(ker, old)])
+    ref_upd = np.concatenate([(r - o).ravel() for r, o in zip(ref, old)])
+    assert np.max(np.abs(ker_upd)) < 3 * lr
+    assert np.corrcoef(ker_upd, ref_upd)[0, 1] > 0.95
+
+
 def test_eval_step_sharded_matches_single_device():
     """Eval step with explicit (repl, batch, batch, batch) shardings over
     the 8-device mesh == unsharded eval (validation correctness under DP)."""
