@@ -14,9 +14,14 @@ Key structure (what makes the backward chain as cheap as the forward's):
     the recurrent-gate pre-activations hp_t = h_{t-1} @ W_hh are ONE big
     MXU GEMM over a time-shifted copy of `hid` (not L small ones), and
     the weight gradients dW_hh = sum_t h_{t-1}^T dhp_t and
-    dW_ih = n1^T dxp hoist into single GEMMs after the loop. The only
-    sequential work left is the dh carry chain: one [BS,3C]x[3C,C] GEMM
-    per direction per step -- the same shape as the forward's step.
+    dW_ih = n1^T dxp hoist into single GEMMs after the loop.
+  * ALL gate algebra hoists out of the BPTT loop too: with xp/hp known,
+    every per-step gradient is dh_t times a per-t constant --
+    dhp_t = tile3(dh_t) * K123_t, carry += dh_t * z_t -- where the K
+    factors (products of sigmoid/tanh gate values) are computed for every
+    t in one vectorized pass before the loop. The sequential chain is
+    then just one [BS,3C] multiply + one [BS,3C]x[3C,C] GEMM + one axpy
+    per direction per step; no transcendentals on the critical path.
   * Both directions run in the same loop (forward direction walks t
     descending while backward walks ascending), mirroring the forward
     kernel's packed single-chain recurrence.
@@ -122,7 +127,8 @@ def _ftf_bwd_kernel(x_ref, do_ref, hid_ref,
                     dinw_ref, dinb_ref, doutw_ref, doutb_ref,
                     dlinw_ref, dlinb_ref,
                     xp_scr, hidprev_scr, hp_scr, dg_scr,
-                    dxpf_scr, dxpb_scr, dhpf_scr, dhpb_scr,
+                    k123f_scr, k123b_scr, k4f_scr, k4b_scr,
+                    k5f_scr, k5b_scr, dhf_scr, dhb_scr,
                     qkv_scr, p_scr, ctx_scr, dctx_scr, dqkv_scr,
                     *, directions: int, num_heads: int, sub: int,
                     valid_len: int, freq_concat: bool, precise: bool):
@@ -313,47 +319,56 @@ def _ftf_bwd_kernel(x_ref, do_ref, hid_ref,
     hp = jnp.concatenate(hp_parts, axis=-1) + bhh_ref[...]
     hp_scr[...] = hp.reshape(Lp, BS, D * 3 * C)
 
-    # ---- BPTT: one chain, both directions, 1 small GEMM per dir/step ----
-    def gate_bwd(dh, xpt, hpt, h_prev):
-        r = jax.nn.sigmoid(xpt[:, :C] + hpt[:, :C])
-        z = jax.nn.sigmoid(xpt[:, C:2 * C] + hpt[:, C:2 * C])
-        n = jnp.tanh(xpt[:, 2 * C:] + r * hpt[:, 2 * C:])
-        dz = dh * (h_prev - n)
-        dn = dh * (1.0 - z)
-        dnp_ = dn * (1.0 - jnp.square(n))
-        dr = dnp_ * hpt[:, 2 * C:]
-        drp = dr * r * (1.0 - r)
-        dzp = dz * z * (1.0 - z)
-        dxp_t = jnp.concatenate([drp, dzp, dnp_], axis=-1)
-        dhp_t = jnp.concatenate([drp, dzp, dnp_ * r], axis=-1)
-        return dxp_t, dhp_t, dh * z
+    # ---- hoisted gate algebra (one vectorized pass, no loop) ----
+    # With xp/hp/hprev known for every t, each per-step gradient is dh_t
+    # times a per-t constant:
+    #   drp  = dh * K1,  K1 = P * hp_n * r(1-r)      (P = (1-z)(1-n^2))
+    #   dzp  = dh * K2,  K2 = (hprev - n) * z(1-z)
+    #   dhp_n= dh * K3,  K3 = P * r
+    #   dxp_n= dh * K4,  K4 = P
+    #   dhprev direct term = dh * z
+    # so the BPTT loop below carries only multiplies + the carry GEMM; all
+    # sigmoid/tanh evaluation happens here, off the sequential chain.
+    xp_full = xp_scr[...]                             # [Lp, BS, D*3C]
+    hp_full = hp_scr[...]
+    for d in range(D):
+        xpd = xp_full[..., d * 3 * C:(d + 1) * 3 * C]
+        hpd = hp_full[..., d * 3 * C:(d + 1) * 3 * C]
+        hprev_d = hidprev_scr[...][..., d * C:(d + 1) * C]
+        r = jax.nn.sigmoid(xpd[..., :C] + hpd[..., :C])
+        z = jax.nn.sigmoid(xpd[..., C:2 * C] + hpd[..., C:2 * C])
+        n = jnp.tanh(xpd[..., 2 * C:] + r * hpd[..., 2 * C:])
+        p_fac = (1.0 - z) * (1.0 - jnp.square(n))
+        k1 = p_fac * hpd[..., 2 * C:] * r * (1.0 - r)
+        k2 = (hprev_d - n) * z * (1.0 - z)
+        k123 = jnp.concatenate([k1, k2, p_fac * r], axis=-1)
+        if d == 0:
+            k123f_scr[...] = k123
+            k4f_scr[...] = p_fac
+            k5f_scr[...] = z
+        else:
+            k123b_scr[...] = k123
+            k4b_scr[...] = p_fac
+            k5b_scr[...] = z
 
+    # ---- BPTT: one chain, both directions; per dir/step just one
+    # [BS,3C] multiply + one [BS,3C]x[3C,C] GEMM + one axpy ----
     whht = whht_ref[...]
 
     def step(j, carry):
         tf = L - 1 - j
         dhf = carry[:, :C] + dg_scr[tf]
-        xpt = xp_scr[tf]
-        hpt = hp_scr[tf]
-        hprev = hidprev_scr[tf]
-        dxp_f, dhp_f, dhprev_f = gate_bwd(dhf, xpt[:, :3 * C],
-                                          hpt[:, :3 * C], hprev[:, :C])
-        dxpf_scr[tf] = dxp_f
-        dhpf_scr[tf] = dhp_f
-        cf = dhprev_f + jax.lax.dot_general(
+        dhf_scr[tf] = dhf
+        dhp_f = jnp.concatenate([dhf, dhf, dhf], axis=-1) * k123f_scr[tf]
+        cf = dhf * k5f_scr[tf] + jax.lax.dot_general(
             dhp_f.astype(cd), whht[0].astype(cd),
             (((1,), (1,)), ((), ())), preferred_element_type=f32)
         if D == 2:
             tb = j
             dhb = carry[:, C:] + dg_scr[tb]
-            xpt_b = xp_scr[tb]
-            hpt_b = hp_scr[tb]
-            hprev_b = hidprev_scr[tb]
-            dxp_b, dhp_b, dhprev_b = gate_bwd(
-                dhb, xpt_b[:, 3 * C:], hpt_b[:, 3 * C:], hprev_b[:, C:])
-            dxpb_scr[tb] = dxp_b
-            dhpb_scr[tb] = dhp_b
-            cb = dhprev_b + jax.lax.dot_general(
+            dhb_scr[tb] = dhb
+            dhp_b = jnp.concatenate([dhb, dhb, dhb], axis=-1) * k123b_scr[tb]
+            cb = dhb * k5b_scr[tb] + jax.lax.dot_general(
                 dhp_b.astype(cd), whht[1].astype(cd),
                 (((1,), (1,)), ((), ())), preferred_element_type=f32)
             return jnp.concatenate([cf, cb], axis=-1)
@@ -361,18 +376,23 @@ def _ftf_bwd_kernel(x_ref, do_ref, hid_ref,
 
     jax.lax.fori_loop(0, L, step, jnp.zeros((BS, D * C), f32))
     for t in range(L, Lp):  # padded rows: keep accumulation GEMMs finite
-        dxpf_scr[t] = jnp.zeros((BS, 3 * C), f32)
-        dhpf_scr[t] = jnp.zeros((BS, 3 * C), f32)
+        dhf_scr[t] = jnp.zeros((BS, C), f32)
         if D == 2:
-            dxpb_scr[t] = jnp.zeros((BS, 3 * C), f32)
-            dhpb_scr[t] = jnp.zeros((BS, 3 * C), f32)
+            dhb_scr[t] = jnp.zeros((BS, C), f32)
 
     # ---- hoisted GRU weight/bias/input grads ----
-    dxps = [dxpf_scr[...].reshape(Lp * BS, 3 * C)]
-    dhps = [dhpf_scr[...].reshape(Lp * BS, 3 * C)]
+    # dhp/dxp for all t reconstruct vectorized from the stored dh chain.
+    dhf3 = jnp.concatenate([dhf_scr[...]] * 3, axis=-1)
+    dhps = [(dhf3 * k123f_scr[...]).reshape(Lp * BS, 3 * C)]
+    dxps = [jnp.concatenate(
+        [dhf3[..., :2 * C] * k123f_scr[...][..., :2 * C],
+         dhf_scr[...] * k4f_scr[...]], axis=-1).reshape(Lp * BS, 3 * C)]
     if D == 2:
-        dxps.append(dxpb_scr[...].reshape(Lp * BS, 3 * C))
-        dhps.append(dhpb_scr[...].reshape(Lp * BS, 3 * C))
+        dhb3 = jnp.concatenate([dhb_scr[...]] * 3, axis=-1)
+        dhps.append((dhb3 * k123b_scr[...]).reshape(Lp * BS, 3 * C))
+        dxps.append(jnp.concatenate(
+            [dhb3[..., :2 * C] * k123b_scr[...][..., :2 * C],
+             dhb_scr[...] * k4b_scr[...]], axis=-1).reshape(Lp * BS, 3 * C))
     n1_cd = n1.astype(cd)
     hidprev_flat = hidprev_scr[...].reshape(Lp * BS, D * C)
     acc(dwih_ref, jnp.stack([
@@ -511,12 +531,18 @@ def fused_ftf_bwd(x, ln1s, ln1b, w_ih, w_hh, b_ih, b_hh, ln2s, ln2b,
             pltpu.VMEM((Lp, block_seqs, D * C), jnp.float32),   # hid prev
             pltpu.VMEM((Lp, block_seqs, D * 3 * C), jnp.float32),  # hp
             pltpu.VMEM((Lp, block_seqs, C), jnp.float32),       # dg
-            pltpu.VMEM((Lp, block_seqs, 3 * C), jnp.float32),   # dxp fwd
+            pltpu.VMEM((Lp, block_seqs, 3 * C), jnp.float32),   # K123 fwd
             pltpu.VMEM((Lp, block_seqs, 3 * C) if D == 2 else (8, 8, 3 * C),
-                       jnp.float32),                            # dxp bwd
-            pltpu.VMEM((Lp, block_seqs, 3 * C), jnp.float32),   # dhp fwd
-            pltpu.VMEM((Lp, block_seqs, 3 * C) if D == 2 else (8, 8, 3 * C),
-                       jnp.float32),                            # dhp bwd
+                       jnp.float32),                            # K123 bwd
+            pltpu.VMEM((Lp, block_seqs, C), jnp.float32),       # K4 fwd
+            pltpu.VMEM((Lp, block_seqs, C) if D == 2 else (8, 8, C),
+                       jnp.float32),                            # K4 bwd
+            pltpu.VMEM((Lp, block_seqs, C), jnp.float32),       # K5 fwd
+            pltpu.VMEM((Lp, block_seqs, C) if D == 2 else (8, 8, C),
+                       jnp.float32),                            # K5 bwd
+            pltpu.VMEM((Lp, block_seqs, C), jnp.float32),       # dh fwd
+            pltpu.VMEM((Lp, block_seqs, C) if D == 2 else (8, 8, C),
+                       jnp.float32),                            # dh bwd
             pltpu.VMEM((n_sub, R, 3 * C), sdt),                 # qkv
             pltpu.VMEM((n_sub, num_heads, R, R), sdt),          # softmax p
             pltpu.VMEM((n_sub, R, C), sdt),                     # ctx
