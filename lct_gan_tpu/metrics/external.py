@@ -1,11 +1,15 @@
 """Gated wrappers for external metric packages + the per-pair evaluator.
 
-PESQ (ITU-T P.862) requires the external `pesq` C wheel; the algorithm is
-too large to reimplement faithfully, so -- like the reference's lazy
-imports (metrics.py:57-75) -- it is gated and reported as NaN when the
-package is absent. STOI always works: we prefer the `pystoi` wheel when
-present (exact parity with the reference) and fall back to our own
-implementation (lct_gan_tpu/metrics/stoi.py) otherwise.
+Certified PESQ (ITU-T P.862) requires the external `pesq` C wheel; like
+the reference's lazy imports (metrics.py:57-75) it is gated, and the
+certified `pesq_wb` slot reports NaN when the package is absent. In that
+case the vendored estimator (lct_gan_tpu/metrics/pesq_p862.py -- the full
+P.862 perceptual pipeline, openly approximate in its band tables) is
+reported in a SEPARATE `pesq_wb_est` slot so estimates can never be
+mistaken for certified scores; the BASELINE.md acceptance gate keys on
+`pesq_available()` (wheel only). STOI always works: we prefer the
+`pystoi` wheel when present (exact parity with the reference) and fall
+back to our own implementation (lct_gan_tpu/metrics/stoi.py) otherwise.
 """
 
 from __future__ import annotations
@@ -58,14 +62,27 @@ def pesq_available() -> bool:
 
 def pesq_score(clean: np.ndarray, enhanced: np.ndarray, sample_rate: int,
                mode: str = "wb") -> float:
-    """Wideband PESQ (reference: metrics.py:78-88). NaN if the `pesq`
-    package is unavailable."""
+    """Certified wideband PESQ (reference: metrics.py:78-88). NaN if the
+    `pesq` package is unavailable (use `pesq_estimate` for the vendored
+    approximation)."""
     f = _get_pesq()
     if f is None:
         return math.nan
     n = min(len(clean), len(enhanced))
     return float(f(sample_rate, np.asarray(clean[:n], dtype=np.float64),
                    np.asarray(enhanced[:n], dtype=np.float64), mode))
+
+
+def pesq_estimate(clean: np.ndarray, enhanced: np.ndarray, sample_rate: int,
+                  mode: str = "wb") -> float:
+    """PESQ MOS-LQO: the certified wheel when importable, else the
+    vendored P.862 estimator (metrics/pesq_p862.py)."""
+    f = _get_pesq()
+    if f is not None:
+        return pesq_score(clean, enhanced, sample_rate, mode)
+    from lct_gan_tpu.metrics.pesq_p862 import pesq_p862
+
+    return float(pesq_p862(clean, enhanced, sample_rate, mode))
 
 
 def stoi_score(clean: np.ndarray, enhanced: np.ndarray, sample_rate: int,
@@ -86,29 +103,42 @@ def compute_metrics_for_pair(clean_path: str, enhanced_path: str,
                              sample_rate: int = 16000,
                              include_pesq: bool = True,
                              include_stoi: bool = True,
-                             include_fwsegsnr: bool = True
+                             include_fwsegsnr: bool = True,
+                             include_si_sdr: bool = True,
+                             estoi: bool = False
                              ) -> Dict[str, float]:
     """Load a clean/enhanced wav pair and compute SI-SDR / PESQ / STOI
-    (reference: metrics.py:133-159), plus fwSegSNR (our self-contained
-    quality metric; the PESQ stand-in when the wheel is absent --
-    BASELINE.md acceptance procedure)."""
+    (reference: metrics.py:133-159; estoi/include_si_sdr mirror the
+    reference CLI's --estoi/--no_si_sdr, metrics.py:190-207), plus
+    fwSegSNR (our self-contained quality metric; the PESQ stand-in when
+    the wheel is absent -- BASELINE.md acceptance procedure)."""
     from lct_gan_tpu.data.audio_io import load_mono_wave
 
     clean, _ = load_mono_wave(clean_path, sample_rate)
     enhanced, _ = load_mono_wave(enhanced_path, sample_rate)
-    out: Dict[str, float] = {
-        "si_sdr": si_sdr(clean, enhanced),
-    }
+    out: Dict[str, float] = {}
+    if include_si_sdr:
+        out["si_sdr"] = si_sdr(clean, enhanced)
     if include_pesq:
         try:
             out["pesq_wb"] = pesq_score(clean, enhanced, sample_rate, "wb")
         except Exception:
             out["pesq_wb"] = math.nan
+        if not pesq_available():
+            # Vendored P.862 estimator in its own slot -- informational,
+            # never a stand-in for the certified gate.
+            try:
+                out["pesq_wb_est"] = pesq_estimate(clean, enhanced,
+                                                   sample_rate, "wb")
+            except Exception:
+                out["pesq_wb_est"] = math.nan
     if include_stoi:
+        key = "estoi" if estoi else "stoi"
         try:
-            out["stoi"] = stoi_score(clean, enhanced, sample_rate)
+            out[key] = stoi_score(clean, enhanced, sample_rate,
+                                  extended=estoi)
         except Exception:
-            out["stoi"] = math.nan
+            out[key] = math.nan
     if include_fwsegsnr:
         from lct_gan_tpu.metrics.fwsegsnr import fwsegsnr
 

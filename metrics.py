@@ -26,6 +26,11 @@ def parse_args():
     parser.add_argument("--sample_rate", type=int, default=16000)
     parser.add_argument("--no_pesq", action="store_true")
     parser.add_argument("--no_stoi", action="store_true")
+    parser.add_argument("--estoi", action="store_true",
+                        help="Extended STOI instead of classic STOI "
+                             "(reference metrics.py:190-207)")
+    parser.add_argument("--no_si_sdr", action="store_true",
+                        help="Skip SI-SDR (reference metrics.py:190-207)")
     return parser.parse_args()
 
 
@@ -60,7 +65,9 @@ def main():
         m = compute_metrics_for_pair(
             clean_path, enh_path, args.sample_rate,
             include_pesq=not args.no_pesq,
-            include_stoi=not args.no_stoi)
+            include_stoi=not args.no_stoi,
+            include_si_sdr=not args.no_si_sdr,
+            estoi=args.estoi)
         for k, v in m.items():
             if math.isfinite(v):
                 per_metric.setdefault(k, []).append(v)

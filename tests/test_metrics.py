@@ -177,3 +177,79 @@ def test_pesq_unavailable_waiver():
     assert si_sdr(x, x) > 50
     assert stoi(x, x, sr) > 0.99
     assert fwsegsnr(x, x, sr) == 35.0
+
+
+# ---------------------------------------------------------------------------
+# Vendored P.862 estimator (metrics/pesq_p862.py). These assert the
+# pipeline's structural anchors and behavioral properties -- the estimator
+# is openly approximate (see its module docstring), so no test claims
+# certified-PESQ equality.
+
+def test_pesq_p862_identical_anchors():
+    """A signal against itself has zero disturbance by construction, so
+    the raw score is exactly 4.5 and the MOS-LQO mappings land on the
+    canonical ceilings (4.644 wb / 4.549 nb -- the same values the
+    certified implementation returns for identical inputs)."""
+    from lct_gan_tpu.metrics.pesq_p862 import (
+        MOS_IDENTICAL_NB,
+        MOS_IDENTICAL_WB,
+        pesq_p862,
+    )
+
+    sr = 16000
+    x = _speechlike(sr * 2, sr, seed=21) * 0.1
+    assert abs(pesq_p862(x, x, sr, "wb") - MOS_IDENTICAL_WB) < 2e-3
+    assert abs(pesq_p862(x, x, sr, "nb") - MOS_IDENTICAL_NB) < 2e-3
+
+
+def test_pesq_p862_monotone_in_noise():
+    from lct_gan_tpu.metrics.pesq_p862 import pesq_p862
+
+    sr = 16000
+    x = _speechlike(sr * 2, sr, seed=22) * 0.1
+    rng = np.random.default_rng(23)
+    noise = rng.standard_normal(len(x))
+    noise /= np.sqrt(np.mean(noise ** 2))
+    rms = np.sqrt(np.mean(x ** 2))
+    scores = []
+    for snr in (40, 25, 10, 0):
+        y = x + noise * rms * 10.0 ** (-snr / 20.0)
+        scores.append(pesq_p862(x, y, sr, "wb"))
+    assert all(a > b for a, b in zip(scores, scores[1:])), scores
+    assert all(0.99 <= s <= 5.0 for s in scores)
+
+
+def test_pesq_p862_gain_and_delay_invariance():
+    """Level alignment and time alignment must absorb a flat gain and a
+    constant delay (both are not distortions under P.862)."""
+    from lct_gan_tpu.metrics.pesq_p862 import MOS_IDENTICAL_WB, pesq_p862
+
+    sr = 16000
+    x = _speechlike(sr * 2, sr, seed=24) * 0.1
+    assert pesq_p862(x, 0.25 * x, sr, "wb") > MOS_IDENTICAL_WB - 0.02
+    delayed = np.concatenate([np.zeros(320), x[:-320]])
+    assert pesq_p862(x, delayed, sr, "wb") > MOS_IDENTICAL_WB - 0.05
+
+
+def test_pesq_estimate_and_pair_slots():
+    """pesq_estimate prefers the wheel; without it, the estimator fills
+    the separate informational `pesq_wb_est` slot while the certified
+    `pesq_wb` slot stays NaN (waiver semantics unchanged)."""
+    from lct_gan_tpu.data import write_wav
+    from lct_gan_tpu.metrics import pesq_estimate
+
+    sr = 16000
+    x = (_speechlike(sr * 2, sr, seed=25) * 0.05).astype(np.float32)
+    v = pesq_estimate(x, x, sr, "wb")
+    assert 4.5 < v <= 5.0
+    if pesq_available():  # pragma: no cover - not this image
+        return
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        cp, ep = td + "/c.wav", td + "/e.wav"
+        write_wav(cp, x, sr)
+        write_wav(ep, x, sr)
+        m = compute_metrics_for_pair(cp, ep, sr)
+        assert math.isnan(m["pesq_wb"])
+        assert m["pesq_wb_est"] > 4.5
