@@ -42,6 +42,16 @@ def parse_args():
                              "(bounded memory + one compiled shape; for "
                              "very long recordings).")
     parser.add_argument("--chunk_overlap", type=float, default=0.5)
+    parser.add_argument("--exact_lengths", action="store_true",
+                        help="Enhance one utterance at a time at its exact "
+                             "length (no bucket padding). The unmasked "
+                             "time attention sees padded frames, so padded "
+                             "batches perturb outputs slightly vs "
+                             "per-utterance inference (the reference's "
+                             "padded batches behave the same, "
+                             "infer.py:131-164); this flag trades one "
+                             "compile per distinct length for bit-honest "
+                             "outputs -- use for parity evaluation.")
     return parser.parse_args()
 
 
@@ -108,6 +118,7 @@ def main():
 
         t0 = time.time()
         total_audio = 0.0
+        n_done = 0
         for n_done, uid in enumerate(ds.utt_ids, 1):
             sample = ds[n_done - 1]
             out = enhance_in_chunks(
@@ -126,8 +137,11 @@ def main():
     t0 = time.time()
     total_audio = 0.0
     n_done = 0
+    # --exact_lengths: batches of one, padded only to the batch "max"
+    # (= the utterance itself) -> exact shapes, no attention-over-padding.
+    batch_size = 1 if args.exact_lengths else args.batch_size
     it = Prefetcher(
-        batch_iterator(ds, args.batch_size, bucket=True),
+        batch_iterator(ds, batch_size, bucket=not args.exact_lengths),
         depth=max(2, args.num_workers))
     for batch in it:
         enhanced = np.asarray(enhance(g_params, batch["noisy"]))
