@@ -44,14 +44,14 @@ def parse_args():
     parser.add_argument("--chunk_overlap", type=float, default=0.5)
     parser.add_argument("--exact_lengths", action="store_true",
                         help="Enhance one utterance at a time at its exact "
-                             "length (no bucket padding). The unmasked "
-                             "time attention sees padded frames, so padded "
-                             "batches perturb outputs slightly vs "
-                             "per-utterance inference (the reference's "
-                             "padded batches behave the same, "
-                             "infer.py:131-164); this flag trades one "
-                             "compile per distinct length for bit-honest "
-                             "outputs -- use for parity evaluation.")
+                             "length (no bucket padding). Bucketed batches "
+                             "mask padding out of the time attention, so "
+                             "they match exact-length outputs up to local "
+                             "conv/OLA edge effects (the reference's padded "
+                             "batches have no such mask, infer.py:131-164); "
+                             "this flag trades one compile per distinct "
+                             "length for bit-honest outputs -- use for "
+                             "parity evaluation.")
     return parser.parse_args()
 
 
@@ -104,8 +104,10 @@ def main():
     enhancer, _, _ = build_models(cfg)
 
     @jax.jit
-    def enhance(params, noisy):
-        out, _ = enhancer.apply({"params": params}, noisy)
+    def enhance(params, noisy, lengths=None):
+        # lengths masks bucket-padding frames out of the time attention
+        # (models/generator.py); with exact shapes it is a no-op.
+        out, _ = enhancer.apply({"params": params}, noisy, lengths)
         return out
 
     ds = ScpDataset(args.data_root, args.test_scp, "test",
@@ -144,7 +146,9 @@ def main():
         batch_iterator(ds, batch_size, bucket=not args.exact_lengths),
         depth=max(2, args.num_workers))
     for batch in it:
-        enhanced = np.asarray(enhance(g_params, batch["noisy"]))
+        enhanced = np.asarray(
+            enhance(g_params, batch["noisy"],
+                    np.asarray(batch["lengths"], dtype=np.int32)))
         for i, uid in enumerate(batch["id"]):
             L = int(batch["lengths"][i])
             wave = enhanced[i] if args.pad_outputs else enhanced[i, :L]

@@ -69,9 +69,12 @@ class MultiHeadSelfAttention(nn.Module):
                  x: Optional[jax.Array] = None,
                  mask: Optional[jax.Array] = None,
                  lookback: Optional[int] = None, *,
+                 key_bias: Optional[jax.Array] = None,
                  return_params: bool = False):
         """x: [B, S, E]; mask: optional [S, S] bool (True = attend);
-        lookback: optional banded-causal window (overrides mask).
+        lookback: optional banded-causal window (overrides mask);
+        key_bias: optional [B, S] additive score bias per KEY position
+        (0/-1e30) hiding zero-padded frames of bucketed batches.
         return_params=True hands the raw param arrays to the caller (for
         the fused FTF-block kernel, ops/ftf.py) without computing."""
         nh = self.num_heads
@@ -103,6 +106,7 @@ class MultiHeadSelfAttention(nn.Module):
 
             return fused_mhsa(x, in_kernel, in_bias, out_kernel, out_bias,
                               num_heads=nh, lookback=lookback,
+                              key_bias=key_bias,
                               interpret=(mode == "interpret"))
 
         if mask is None and lookback is not None:
@@ -119,6 +123,8 @@ class MultiHeadSelfAttention(nn.Module):
         scores = jnp.einsum("bhqd,bhkd->bhqk", q, k,
                             preferred_element_type=jnp.float32)
         scores = scores / jnp.sqrt(jnp.asarray(hd, scores.dtype))
+        if key_bias is not None:
+            scores = scores + key_bias[:, None, None, :]
         if mask is not None:
             scores = jnp.where(mask[None, None], scores, -jnp.inf)
         attn = jax.nn.softmax(scores, axis=-1)

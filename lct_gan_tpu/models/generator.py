@@ -71,7 +71,8 @@ def _leaky(x: jax.Array) -> jax.Array:
 
 def _fused_ftf_dispatch(seq: jax.Array, ln1, gru, ln2, attn, lin, *,
                         bidirectional: bool, num_heads: int,
-                        lookback: Optional[int]):
+                        lookback: Optional[int],
+                        key_bias: Optional[jax.Array] = None):
     """Route a whole FTF block through the fused Pallas kernel
     (lct_gan_tpu/ops/ftf.py) when the dispatch policy allows; returns None
     to take the composed jnp path. Collecting params via return_params
@@ -95,7 +96,7 @@ def _fused_ftf_dispatch(seq: jax.Array, ln1, gru, ln2, attn, lin, *,
         seq, ln1_s, ln1_b, w_ih, w_hh, b_ih, b_hh, ln2_s, ln2_b,
         in_w, in_b, out_w, out_b, lin_w, lin_b,
         bidirectional=bidirectional, num_heads=num_heads, lookback=lookback,
-        interpret=(mode == "interpret"))
+        key_bias=key_bias, interpret=(mode == "interpret"))
 
 
 class TorchConvTranspose(nn.Module):
@@ -201,7 +202,15 @@ class TimeGRUBlock(nn.Module):
     max_time_context: Optional[int] = None
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
+    def __call__(self, x: jax.Array,
+                 frames_valid: Optional[jax.Array] = None) -> jax.Array:
+        """frames_valid: optional [B] int count of valid time frames per
+        batch row. When given, zero-padded frames of bucketed batches are
+        hidden from the time attention's keys, so valid frames' outputs
+        match exact-length inference (up to local conv edge effects). The
+        reference has no equivalent -- its batched inference lets valid
+        frames attend to padding (reference generator.py:245-246 over the
+        zero-padded batch of infer.py)."""
         B, T, F, C = x.shape
         ln1 = LayerNorm(name="layernorm1")
         gru = GroupedGRU(groups=self.groups, hidden_size=C // self.groups,
@@ -213,9 +222,17 @@ class TimeGRUBlock(nn.Module):
 
         seq = x.transpose(0, 2, 1, 3).reshape(B * F, T, C)
 
+        key_bias = None
+        if frames_valid is not None:
+            kb = jnp.where(
+                jnp.arange(T)[None, :] < frames_valid[:, None], 0.0, -1e30)
+            # Row layout is b*F + f: repeat each batch row F times.
+            key_bias = jnp.repeat(kb.astype(jnp.float32), F, axis=0)
+
         fused = _fused_ftf_dispatch(
             seq, ln1, gru, ln2, attn, lin, bidirectional=False,
-            num_heads=self.num_heads, lookback=self.max_time_context)
+            num_heads=self.num_heads, lookback=self.max_time_context,
+            key_bias=key_bias)
         if fused is not None:
             return fused.reshape(B, F, T, C).transpose(0, 2, 1, 3)
 
@@ -224,7 +241,8 @@ class TimeGRUBlock(nn.Module):
         seq = seq + seq_gru
 
         seq_norm2 = ln2(seq)
-        attn_out = attn(seq_norm2, lookback=self.max_time_context)
+        attn_out = attn(seq_norm2, lookback=self.max_time_context,
+                        key_bias=key_bias)
 
         combined = lin(attn_out)
         combined = _leaky(combined)
@@ -251,7 +269,15 @@ class LctGenerator(nn.Module):
     cfg: LCTGeneratorConfig = LCTGeneratorConfig()
 
     @nn.compact
-    def __call__(self, noisy_mag: jax.Array) -> jax.Array:
+    def __call__(self, noisy_mag: jax.Array,
+                 frames_valid: Optional[jax.Array] = None) -> jax.Array:
+        # frames_valid [B]: valid INPUT frame count per row (bucketed
+        # batches). Threaded to the time block's attention key mask. The
+        # encoder convs are stride-1 in time (each level grows T by one
+        # zero-padded frame), so the input count is used unchanged at the
+        # bottleneck: frames the convs derive purely from padding differ
+        # from exact-length inference only within the 2-frame kernel
+        # footprint, the same local edge effect conv zero-padding causes.
         cfg = self.cfg
         if noisy_mag.ndim != 4 or noisy_mag.shape[1] != 1:
             raise ValueError(
@@ -284,7 +310,7 @@ class LctGenerator(nn.Module):
         h = TimeGRUBlock(channels=e3, num_heads=cfg.num_heads,
                          groups=cfg.gru_groups,
                          max_time_context=cfg.max_time_context,
-                         name="GRUt1")(h)
+                         name="GRUt1")(h, frames_valid=frames_valid)
         h = FreqGRUBlock(channels=e3, num_heads=cfg.num_heads,
                          groups=cfg.gru_groups, name="GRUf2")(h)
 
@@ -332,14 +358,55 @@ class LctEnhancer(nn.Module):
     stft_cfg: STFTConfig = STFTConfig(n_fft=512)
 
     @nn.compact
-    def __call__(self, noisy_wave: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    def __call__(self, noisy_wave: jax.Array,
+                 lengths: Optional[jax.Array] = None
+                 ) -> Tuple[jax.Array, jax.Array]:
+        """lengths: optional [B] valid sample count per row. When given,
+        the zero-padded tail frames of bucketed batches are masked out of
+        the time attention (see LctGenerator), so each row's enhancement
+        matches its exact-length result instead of degrading with the
+        amount of batch padding (which the reference's batched infer.py
+        accepts silently)."""
         if noisy_wave.ndim != 2:
             raise ValueError(
                 f"Expected noisy_wave [B, T], got {noisy_wave.shape}")
         cfg = self.stft_cfg.finalize()
+        if lengths is not None and cfg.center and cfg.pad_mode == "reflect":
+            # Continue each row past its valid end with the REFLECTION the
+            # exact-length STFT would see from its own end padding, so the
+            # boundary-straddling frames (the only valid frames whose
+            # content differs between a bucketed row and its exact-length
+            # run) become identical. Combined with the attention key mask
+            # below, a bucketed row's enhancement matches its exact-length
+            # result up to local conv-edge effects -- and is invariant to
+            # the bucket size.
+            T = noisy_wave.shape[-1]
+            pos = jnp.arange(T)[None, :]
+            ref_idx = jnp.clip(2 * lengths[:, None] - 2 - pos, 0, T - 1)
+            tail = jnp.take_along_axis(noisy_wave, ref_idx, axis=-1)
+            in_tail = (pos >= lengths[:, None]) & (
+                pos < lengths[:, None] + cfg.n_fft // 2)
+            noisy_wave = jnp.where(in_tail, tail, noisy_wave)
         noisy_stft = stft(noisy_wave, cfg)            # [B, F, N]
         noisy_mag = magnitude(noisy_stft)[:, None]    # [B, 1, F, N]
-        mask_c = LctGenerator(self.gen_cfg, name="gen")(noisy_mag)
+        frames_valid = None
+        if lengths is not None:
+            # Centered torch-semantics frame count (STFTConfig.num_frames)
+            # as a traced formula over per-row lengths.
+            pad = cfg.n_fft // 2 if cfg.center else 0
+            frames_valid = 1 + (lengths + 2 * pad - cfg.n_fft) // cfg.hop_length
+        mask_c = LctGenerator(self.gen_cfg, name="gen")(
+            noisy_mag, frames_valid=frames_valid)
+        if frames_valid is not None:
+            # Invalid frames' mask values are garbage (their attention
+            # queries are fed masked keys); zero them so the OLA tail of
+            # each row is silence instead of garbage-scaled signal. (The
+            # reference's padded batches keep sigmoid(0)=0.5 there and
+            # save the result, infer.py:150-155.)
+            n_frames = mask_c.shape[-1]
+            valid = (jnp.arange(n_frames)[None, :] <
+                     frames_valid[:, None]).astype(mask_c.dtype)
+            mask_c = mask_c * valid[:, None, None, :]
         enhanced_stft = apply_mask(noisy_stft, mask_c, compressed=True,
                                    c=self.c)
         enhanced = istft(enhanced_stft, cfg, length=noisy_wave.shape[-1])

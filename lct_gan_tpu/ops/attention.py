@@ -47,9 +47,13 @@ def mhsa_reference(x: jax.Array,
                    out_proj_kernel: jax.Array,
                    out_proj_bias: jax.Array,
                    num_heads: int = 4,
-                   lookback: Optional[int] = None) -> jax.Array:
+                   lookback: Optional[int] = None,
+                   key_bias: Optional[jax.Array] = None) -> jax.Array:
     """Pure-jnp MHSA (torch.nn.MultiheadAttention math). Shared by the
-    flax module's non-TPU path and the Pallas kernel's backward pass."""
+    flax module's non-TPU path and the Pallas kernel's backward pass.
+    key_bias: optional [B, S] additive score bias per KEY position
+    (0 = attend, -1e30 = masked) -- used to hide zero-padded frames of
+    bucketed batches from every query (models/generator.py)."""
     B, S, E = x.shape
     nh = num_heads
     hd = E // nh
@@ -69,6 +73,8 @@ def mhsa_reference(x: jax.Array,
         kpos = jnp.arange(S)[None, :]
         mask = (kpos <= qpos) & (kpos >= qpos - lookback)
         scores = jnp.where(mask[None, None], scores, -jnp.inf)
+    if key_bias is not None:
+        scores = scores + key_bias[:, None, None, :]
     attn = jax.nn.softmax(scores, axis=-1)
     out = jnp.einsum("bhqk,bhkd->bhqd", attn, v,
                      preferred_element_type=jnp.float32)
@@ -117,7 +123,7 @@ def _block_mask_bias(block_seqs: int, length: int,
 
 
 def _mhsa_kernel(x_ref, in_w_ref, in_b_ref, out_w_ref, out_b_ref, bias_ref,
-                 o_ref, *, num_heads: int, length: int,
+                 keyb_ref, o_ref, *, num_heads: int, length: int,
                  block_seqs: int, lookback: Optional[int]):
     S, L, E = x_ref.shape
     R = S * L
@@ -127,6 +133,11 @@ def _mhsa_kernel(x_ref, in_w_ref, in_b_ref, out_w_ref, out_b_ref, bias_ref,
     in_w = in_w_ref[...]
     out_w = out_w_ref[...]
     bias = bias_ref[...]
+    if keyb_ref is not None:
+        # Per-key additive bias for this tile's packed rows ([1, R] f32,
+        # flattened on the host so no in-kernel unaligned reshape is
+        # needed); broadcast over query rows below.
+        bias = bias + keyb_ref[0][None, :]
 
     qkv = jnp.dot(x.astype(jnp.bfloat16), in_w.astype(jnp.bfloat16),
                   preferred_element_type=jnp.float32) + in_b_ref[...]
@@ -159,7 +170,7 @@ def _mhsa_kernel(x_ref, in_w_ref, in_b_ref, out_w_ref, out_b_ref, bias_ref,
 
 def _fused_mhsa_pallas(x, in_proj_kernel, in_proj_bias, out_proj_kernel,
                        out_proj_bias, num_heads, lookback, block_seqs,
-                       interpret):
+                       interpret, key_bias=None):
     N, L, E = x.shape
     if block_seqs is None:
         block_seqs = pick_block_seqs(L)
@@ -168,30 +179,44 @@ def _fused_mhsa_pallas(x, in_proj_kernel, in_proj_bias, out_proj_kernel,
         x = jnp.pad(x, ((0, pad), (0, 0), (0, 0)))
     n_tiles = (N + pad) // block_seqs
 
-    kernel = functools.partial(
+    base = functools.partial(
         _mhsa_kernel, num_heads=num_heads, length=L,
         block_seqs=block_seqs, lookback=lookback)
 
     R = block_seqs * L
     bias = jnp.asarray(_block_mask_bias(block_seqs, L, lookback))
+    in_specs = [
+        pl.BlockSpec((block_seqs, L, E), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((E, 3 * E), lambda i: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((3 * E,), lambda i: (0,),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((E, E), lambda i: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((E,), lambda i: (0,), memory_space=pltpu.VMEM),
+        pl.BlockSpec((R, R), lambda i: (0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    inputs = [x.astype(jnp.float32), in_proj_kernel, in_proj_bias,
+              out_proj_kernel, out_proj_bias, bias]
+    if key_bias is not None:
+        # [N, L] per-key additive bias -> [n_tiles, R] host-side flatten
+        # (free XLA reshape; avoids an unaligned in-kernel merge).
+        kb = jnp.pad(key_bias.astype(jnp.float32), ((0, pad), (0, 0)))
+        inputs.append(kb.reshape(n_tiles, R))
+        in_specs.append(pl.BlockSpec((1, R), lambda i: (i, 0),
+                                     memory_space=pltpu.VMEM))
+        kernel = base
+    else:
+        kernel = lambda *a: base(*a[:6], None, *a[6:])  # noqa: E731
+
     flops_tile = (2 * R * E * 3 * E + num_heads * 2 * R * R * (E // 4) * 2
                   + 2 * R * E * E)
     out = pl.pallas_call(
         kernel,
         grid=(n_tiles,),
-        in_specs=[
-            pl.BlockSpec((block_seqs, L, E), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((E, 3 * E), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((3 * E,), lambda i: (0,),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((E, E), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((E,), lambda i: (0,), memory_space=pltpu.VMEM),
-            pl.BlockSpec((R, R), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((block_seqs, L, E), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((N + pad, L, E), jnp.float32),
@@ -201,36 +226,38 @@ def _fused_mhsa_pallas(x, in_proj_kernel, in_proj_bias, out_proj_kernel,
             transcendentals=n_tiles * num_heads * R * R,
         ),
         interpret=interpret,
-    )(x.astype(jnp.float32), in_proj_kernel, in_proj_bias,
-      out_proj_kernel, out_proj_bias, bias)
+    )(*inputs)
     return out[:N] if pad else out
 
 
 # pallas_call has no autodiff rule; training differentiates through the
 # attention, so the kernel carries a custom VJP whose backward recomputes
 # via the jnp reference implementation (standard fused-forward pattern --
-# fwd runs the kernel, bwd is XLA).
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
-def _fused_mhsa(x, iw, ib, ow, ob, num_heads, lookback, block_seqs,
-                interpret):
+# fwd runs the kernel, bwd is XLA). key_bias (None or [N, L]) rides along
+# as a constant: its cotangent is None/zeros (masking is not trained).
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9))
+def _fused_mhsa(x, iw, ib, ow, ob, key_bias, num_heads, lookback,
+                block_seqs, interpret):
     return _fused_mhsa_pallas(x, iw, ib, ow, ob, num_heads, lookback,
-                              block_seqs, interpret)
+                              block_seqs, interpret, key_bias=key_bias)
 
 
-def _fused_mhsa_fwd(x, iw, ib, ow, ob, num_heads, lookback, block_seqs,
-                    interpret):
+def _fused_mhsa_fwd(x, iw, ib, ow, ob, key_bias, num_heads, lookback,
+                    block_seqs, interpret):
     out = _fused_mhsa_pallas(x, iw, ib, ow, ob, num_heads, lookback,
-                             block_seqs, interpret)
-    return out, (x, iw, ib, ow, ob)
+                             block_seqs, interpret, key_bias=key_bias)
+    return out, (x, iw, ib, ow, ob, key_bias)
 
 
 def _fused_mhsa_bwd(num_heads, lookback, block_seqs, interpret, res, g):
-    x, iw, ib, ow, ob = res
+    x, iw, ib, ow, ob, key_bias = res
     _, vjp = jax.vjp(
         lambda x, iw, ib, ow, ob: mhsa_reference(
-            x, iw, ib, ow, ob, num_heads=num_heads, lookback=lookback),
+            x, iw, ib, ow, ob, num_heads=num_heads, lookback=lookback,
+            key_bias=key_bias),
         x, iw, ib, ow, ob)
-    return vjp(g)
+    dkb = None if key_bias is None else jnp.zeros_like(key_bias)
+    return vjp(g) + (dkb,)
 
 
 _fused_mhsa.defvjp(_fused_mhsa_fwd, _fused_mhsa_bwd)
@@ -247,10 +274,12 @@ def fused_mhsa(x: jax.Array,
                *,
                num_heads: int = 4,
                lookback: Optional[int] = None,
+               key_bias: Optional[jax.Array] = None,
                block_seqs: Optional[int] = None,
                interpret: bool = False) -> jax.Array:
     """Fused MHSA over x [N, L, E]. Returns [N, L, E] (f32).
-    Differentiable (custom VJP); kernel layout as models/attention.py."""
+    Differentiable (custom VJP); kernel layout as models/attention.py.
+    key_bias: optional [N, L] per-key additive score bias (0/-1e30)."""
     return _fused_mhsa(x, in_proj_kernel, in_proj_bias, out_proj_kernel,
-                       out_proj_bias, num_heads, lookback, block_seqs,
-                       interpret)
+                       out_proj_bias, key_bias, num_heads, lookback,
+                       block_seqs, interpret)

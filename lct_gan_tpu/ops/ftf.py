@@ -82,10 +82,13 @@ def ftf_block_reference(x: jax.Array,
                         *,
                         bidirectional: bool,
                         num_heads: int,
-                        lookback: Optional[int] = None) -> jax.Array:
+                        lookback: Optional[int] = None,
+                        key_bias: Optional[jax.Array] = None) -> jax.Array:
     """Pure-jnp FTF block over x [N, L, C]; the kernel's numerical contract
     and backward path. lin_w [2C, C] means concat([gru, attn]) input
-    (frequency block); [C, C] means attention-only (time block)."""
+    (frequency block); [C, C] means attention-only (time block).
+    key_bias: optional [N, L] per-key additive attention bias (0/-1e30),
+    hiding zero-padded frames of bucketed batches from every query."""
     N, L, C = x.shape
     n1 = _layer_norm(x, ln1_scale, ln1_bias)
     g = grouped_gru_reference(n1, w_ih, w_hh, b_ih, b_hh,
@@ -93,7 +96,7 @@ def ftf_block_reference(x: jax.Array,
     s = x + g
     n2 = _layer_norm(s, ln2_scale, ln2_bias)
     a = mhsa_reference(n2, in_w, in_b, out_w, out_b, num_heads=num_heads,
-                       lookback=lookback)
+                       lookback=lookback, key_bias=key_bias)
     if lin_w.shape[0] == 2 * C:
         comb = (jnp.einsum("nlc,cf->nlf", g, lin_w[:C],
                            preferred_element_type=jnp.float32) +
@@ -129,7 +132,7 @@ def pick_ftf_tile(length: int, save_hidden: bool = False) -> Tuple[int, int]:
 def _ftf_kernel(x_ref, wih_ref, whh_ref, bih_ref, bhh_ref,
                 ln1s_ref, ln1b_ref, ln2s_ref, ln2b_ref,
                 inw_ref, inb_ref, outw_ref, outb_ref,
-                linw_ref, linb_ref, bias_ref,
+                linw_ref, linb_ref, bias_ref, keyb_ref,
                 o_ref, hid_ref,
                 xp_scr, gru_scr, bwdg_scr, qkv_scr, ctx_scr, h_scr,
                 *, directions: int, num_heads: int, sub: int,
@@ -217,13 +220,18 @@ def _ftf_kernel(x_ref, wih_ref, whh_ref, bih_ref, bhh_ref,
 
     def attn_chunk(c, _):
         qm = qkv_scr[c]                              # [R, 3C]
+        cb = bias
+        if keyb_ref is not None:
+            # Per-key additive bias for this chunk's packed rows (host-
+            # flattened [n_sub, R]); broadcast over query rows.
+            cb = cb + keyb_ref[c][None, :]
         parts = []
         for h in range(num_heads):
             q = qm[:, h * hd:(h + 1) * hd]
             k = qm[:, C + h * hd:C + (h + 1) * hd]
             v = qm[:, 2 * C + h * hd:2 * C + (h + 1) * hd]
             sc = jnp.dot(q, k.T,
-                         preferred_element_type=jnp.float32) * scale + bias
+                         preferred_element_type=jnp.float32) * scale + cb
             m = jnp.max(sc, axis=-1, keepdims=True)
             p = jnp.exp(sc - m)
             # Padded query rows (pos % Lp >= L) still attend to their
@@ -270,7 +278,7 @@ def _ftf_kernel(x_ref, wih_ref, whh_ref, bih_ref, bhh_ref,
 def _fused_ftf_pallas(x, ln1s, ln1b, w_ih, w_hh, b_ih, b_hh, ln2s, ln2b,
                       in_w, in_b, out_w, out_b, lin_w, lin_b,
                       bidirectional, num_heads, lookback, block_seqs, sub,
-                      interpret, save_hidden=False):
+                      interpret, save_hidden=False, key_bias=None):
     N, L, C = x.shape
     D = 2 if bidirectional else 1
     if block_seqs is None or sub is None:
@@ -313,16 +321,49 @@ def _fused_ftf_pallas(x, ln1s, ln1b, w_ih, w_hh, b_ih, b_hh, ln2s, ln2b,
 
     base = functools.partial(_ftf_kernel, directions=D,
                              num_heads=num_heads, sub=sub, valid_len=L)
-    if save_hidden:
-        kernel = base
+    # Splice None for the optional refs absent from the call signature
+    # (16 fixed inputs, then keyb_ref if key_bias is given, then o_ref,
+    # then hid_ref if save_hidden) so the impl skips their use.
+    if key_bias is not None:
+        if save_hidden:
+            kernel = base
+        else:
+            kernel = lambda *a: base(*a[:18], None, *a[18:])  # noqa: E731
+    elif save_hidden:
+        kernel = lambda *a: base(*a[:16], None, *a[16:])  # noqa: E731
     else:
-        # No hid output ref in the call signature; splice in None after
-        # o_ref (arg 16 inputs + 1 output) so the impl skips the store.
-        kernel = lambda *a: base(*a[:17], None, *a[17:])  # noqa: E731
+        kernel = lambda *a: base(*a[:16], None, a[16], None,
+                                 *a[17:])  # noqa: E731
 
     def _full(shape):
         return pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape),
                             memory_space=pltpu.VMEM)
+
+    in_specs = [
+        pl.BlockSpec((block_seqs, Lp, C), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        _full((C, D * 3 * C)), _full((D * C, D * 3 * C)),
+        _full((D * 3 * C,)), _full((D * 3 * C,)),
+        _full((C,)), _full((C,)), _full((C,)), _full((C,)),
+        _full((C, 3 * C)), _full((3 * C,)),
+        _full((C, C)), _full((C,)),
+        _full(tuple(lin_w.shape)), _full((C,)),
+        _full((R, R)),
+    ]
+    inputs = [x.astype(jnp.float32), wih_p, whh_p, bih_p, bhh_p,
+              ln1s, ln1b, ln2s, ln2b, in_w, in_b, out_w, out_b,
+              lin_w, lin_b, bias]
+    if key_bias is not None:
+        # [N, L] per-key additive bias -> [n_tiles, n_sub, R] host-side
+        # reshape (row-major: tile i, chunk c covers sequences
+        # i*block_seqs + c*sub ..+sub, each flattened over Lp). Padded
+        # positions get 0 -- the block bias already masks keys >= L.
+        kb = jnp.pad(key_bias.astype(jnp.float32),
+                     ((0, pad), (0, Lp - L)))
+        inputs.append(kb.reshape(n_tiles * (block_seqs // sub), R))
+        in_specs.append(
+            pl.BlockSpec((block_seqs // sub, R), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM))
 
     gru_flops = 2 * D * (N + pad) * Lp * C * 3 * C * 2  # in-proj + recur
     attn_flops = n_tiles * (block_seqs // sub) * num_heads * 2 * R * R * (
@@ -344,17 +385,7 @@ def _fused_ftf_pallas(x, ln1s, ln1b, w_ih, w_hh, b_ih, b_hh, ln2s, ln2b,
     out = pl.pallas_call(
         kernel,
         grid=(n_tiles,),
-        in_specs=[
-            pl.BlockSpec((block_seqs, Lp, C), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            _full((C, D * 3 * C)), _full((D * C, D * 3 * C)),
-            _full((D * 3 * C,)), _full((D * 3 * C,)),
-            _full((C,)), _full((C,)), _full((C,)), _full((C,)),
-            _full((C, 3 * C)), _full((3 * C,)),
-            _full((C, C)), _full((C,)),
-            _full(tuple(lin_w.shape)), _full((C,)),
-            _full((R, R)),
-        ],
+        in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
         scratch_shapes=[
@@ -379,8 +410,7 @@ def _fused_ftf_pallas(x, ln1s, ln1b, w_ih, w_hh, b_ih, b_hh, ln2s, ln2b,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=(110 if save_hidden else 104) * 1024 * 1024),
         interpret=interpret,
-    )(x.astype(jnp.float32), wih_p, whh_p, bih_p, bhh_p,
-      ln1s, ln1b, ln2s, ln2b, in_w, in_b, out_w, out_b, lin_w, lin_b, bias)
+    )(*inputs)
     if save_hidden:
         out, hid = out
         if pad or Lp != L:
@@ -389,50 +419,56 @@ def _fused_ftf_pallas(x, ln1s, ln1b, w_ih, w_hh, b_ih, b_hh, ln2s, ln2b,
     return out[:N, :L] if (pad or Lp != L) else out
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(15, 16, 17, 18, 19, 20))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(16, 17, 18, 19, 20, 21))
 def _fused_ftf(x, ln1s, ln1b, w_ih, w_hh, b_ih, b_hh, ln2s, ln2b,
-               in_w, in_b, out_w, out_b, lin_w, lin_b,
+               in_w, in_b, out_w, out_b, lin_w, lin_b, key_bias,
                bidirectional, num_heads, lookback, block_seqs, sub,
                interpret):
     return _fused_ftf_pallas(x, ln1s, ln1b, w_ih, w_hh, b_ih, b_hh,
                              ln2s, ln2b, in_w, in_b, out_w, out_b,
                              lin_w, lin_b, bidirectional, num_heads,
-                             lookback, block_seqs, sub, interpret)
+                             lookback, block_seqs, sub, interpret,
+                             key_bias=key_bias)
 
 
 def _fused_ftf_fwd(x, ln1s, ln1b, w_ih, w_hh, b_ih, b_hh, ln2s, ln2b,
-                   in_w, in_b, out_w, out_b, lin_w, lin_b,
+                   in_w, in_b, out_w, out_b, lin_w, lin_b, key_bias,
                    bidirectional, num_heads, lookback, block_seqs, sub,
                    interpret):
     import os
-    jnp_bwd = bool(os.environ.get("LCT_FTF_JNP_BWD"))
+    # The fused backward kernel (ops/ftf_bwd.py) has no key-bias input;
+    # key_bias only occurs on bucketed val/infer batches, which never
+    # differentiate, so routing it to the exact jnp-recompute VJP costs
+    # nothing in training and keeps grads correct if anyone does.
+    jnp_bwd = bool(os.environ.get("LCT_FTF_JNP_BWD")) or key_bias is not None
     out = _fused_ftf_pallas(x, ln1s, ln1b, w_ih, w_hh, b_ih, b_hh,
                             ln2s, ln2b, in_w, in_b, out_w, out_b,
                             lin_w, lin_b, bidirectional, num_heads,
                             lookback, block_seqs, sub, interpret,
-                            save_hidden=not jnp_bwd)
+                            save_hidden=not jnp_bwd, key_bias=key_bias)
     if jnp_bwd:
         hid = None
     else:
         out, hid = out
     return out, (x, ln1s, ln1b, w_ih, w_hh, b_ih, b_hh, ln2s, ln2b,
-                 in_w, in_b, out_w, out_b, lin_w, lin_b, hid)
+                 in_w, in_b, out_w, out_b, lin_w, lin_b, key_bias, hid)
 
 
 def _fused_ftf_bwd(bidirectional, num_heads, lookback, block_seqs, sub,
                    interpret, res, g):
-    *primals, hid = res
+    *primals, key_bias, hid = res
     if hid is None:  # LCT_FTF_JNP_BWD escape hatch: jnp recompute VJP
         _, vjp = jax.vjp(
             lambda *args: ftf_block_reference(
                 *args, bidirectional=bidirectional, num_heads=num_heads,
-                lookback=lookback),
+                lookback=lookback, key_bias=key_bias),
             *primals)
-        return vjp(g)
+        dkb = None if key_bias is None else jnp.zeros_like(key_bias)
+        return vjp(g) + (dkb,)
     from lct_gan_tpu.ops.ftf_bwd import fused_ftf_bwd
     return fused_ftf_bwd(*primals, hid, g, bidirectional=bidirectional,
                          num_heads=num_heads, lookback=lookback,
-                         interpret=interpret)
+                         interpret=interpret) + (None,)
 
 
 _fused_ftf.defvjp(_fused_ftf_fwd, _fused_ftf_bwd)
@@ -452,6 +488,7 @@ def fused_ftf_block(x: jax.Array,
                     bidirectional: bool,
                     num_heads: int = 4,
                     lookback: Optional[int] = None,
+                    key_bias: Optional[jax.Array] = None,
                     block_seqs: Optional[int] = None,
                     sub: Optional[int] = None,
                     interpret: bool = False) -> jax.Array:
@@ -460,8 +497,10 @@ def fused_ftf_block(x: jax.Array,
     GRU params in GroupedGRU layout ([D, G, H, 3H] / [D, G, 3H]); attention
     params in torch packed layout; lin_w [2C, C] = freq block
     (concat(gru, attn)), [C, C] = time block (attention only).
+    key_bias: optional [N, L] per-key additive attention bias (0/-1e30)
+    hiding zero-padded frames of bucketed batches from every query.
     Differentiable (custom VJP -> ftf_block_reference)."""
     return _fused_ftf(x, ln1_scale, ln1_bias, w_ih, w_hh, b_ih, b_hh,
                       ln2_scale, ln2_bias, in_w, in_b, out_w, out_b,
-                      lin_w, lin_b, bidirectional, num_heads, lookback,
-                      block_seqs, sub, interpret)
+                      lin_w, lin_b, key_bias, bidirectional, num_heads,
+                      lookback, block_seqs, sub, interpret)

@@ -223,7 +223,10 @@ def make_eval_step(cfg: TrainConfig):
     enhancer, _, _ = build_models(cfg)
 
     def eval_step(g_params, noisy, clean, lengths):
-        enhanced, _ = enhancer.apply({"params": g_params}, noisy)
+        # lengths also masks the time attention's keys so padded rows of
+        # bucketed val batches don't perturb valid rows' enhancement
+        # (models/generator.py TimeGRUBlock).
+        enhanced, _ = enhancer.apply({"params": g_params}, noisy, lengths)
         mr = mr_stft_loss_per_sample(enhanced, clean)
         si = _masked_si_sdr(clean, enhanced, lengths)
         return enhanced, {"mrstft": mr, "si_sdr": si}
