@@ -80,9 +80,19 @@ def make_train_step(cfg: TrainConfig):
                    clean: jax.Array) -> Tuple[GanTrainState, Dict[str, Any]]:
         irm_c = compute_tf_features(noisy, clean, tf_cfg)["irm_c"]
 
-        # ---- Discriminator step (train.py:177-200) ----
-        fake_for_d, _ = enhancer.apply({"params": state.g_params}, noisy)
-        fake_for_d = jax.lax.stop_gradient(fake_for_d)
+        # ONE enhancer forward serves both phases. The reference forwards
+        # twice (no_grad for the D step, train.py:180-181, then with grad
+        # for the G step, :208-209) because torch needs a fresh graph; the
+        # forward does not depend on D params, so here an explicit vjp
+        # gives the D step its fake AND the G step its residuals from the
+        # same pass. XLA cannot CSE the two applies itself: the G-step
+        # forward runs the save_hidden variant of the fused FTF kernel
+        # (ops/ftf.py), a different pallas_call than the plain forward.
+        # Measured: full step 256 -> 240 ms (B=64 bf16, v5e-1); verified
+        # bit-exact (metrics and updated params) vs the two-forward form.
+        (enhanced0, mask_c0), enh_vjp = jax.vjp(
+            lambda p: enhancer.apply({"params": p}, noisy), state.g_params)
+        fake_for_d = jax.lax.stop_gradient(enhanced0)
 
         def d_loss_fn(d_params, spectral):
             if not use_sn:
@@ -129,8 +139,9 @@ def make_train_step(cfg: TrainConfig):
         d_params = jax.tree.map(lambda p, u: p + u, d_params, d_updates)
 
         # ---- Generator step against updated D (train.py:204-249) ----
-        def g_loss_fn(g_params, spectral):
-            enhanced, mask_c = enhancer.apply({"params": g_params}, noisy)
+        # Differentiated w.r.t. the enhancer OUTPUTS; the cotangents chain
+        # through enh_vjp below to give exactly d(g_loss)/d(g_params).
+        def g_loss_fn(enhanced, mask_c, spectral):
             mr_loss, _ = mr_stft_loss(enhanced, clean)
 
             irm_a, pred_a = align_tf_targets(irm_c, mask_c[:, 0])
@@ -141,7 +152,15 @@ def make_train_step(cfg: TrainConfig):
                 # each stack once. Row independence keeps the math
                 # identical; the real rows depend only on `clean`, so no
                 # generator gradient flows through them (stop_gradient
-                # kept for clarity).
+                # kept for clarity). NEGATIVE RESULT (r3, do not retry):
+                # splitting this into fake-apply (B, differentiated) +
+                # real-apply (B, forward-only) to halve the input-grad
+                # convs and the FM cotangent pad/add_any measured SLOWER
+                # (full step 240 -> 247 ms; xprof: the 9.6 ms FM add_any
+                # disappears but the grouped-conv dgrads cost the same at
+                # B as at 2B -- they are MXU-utilization-bound, not
+                # batch-bound -- while the two B forwards cost +3.6 ms
+                # and the FM forward reductions +1.8 ms).
                 b = enhanced.shape[0]
                 both = jnp.concatenate([enhanced, clean], axis=0)
                 ((mpd_l, mpd_fm), _) = apply_disc(
@@ -191,8 +210,10 @@ def make_train_step(cfg: TrainConfig):
             }
             return g_loss, (aux, new_sp)
 
-        (g_loss, (aux, spectral)), g_grads = jax.value_and_grad(
-            g_loss_fn, has_aux=True)(state.g_params, spectral)
+        (g_loss, (aux, spectral)), out_grads = jax.value_and_grad(
+            g_loss_fn, argnums=(0, 1), has_aux=True)(
+                enhanced0, mask_c0, spectral)
+        (g_grads,) = enh_vjp(out_grads)
         g_updates, g_opt_state = g_tx.update(g_grads, state.g_opt_state,
                                              state.g_params)
         g_params = jax.tree.map(lambda p, u: p + u, state.g_params, g_updates)
