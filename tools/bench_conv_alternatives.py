@@ -7,6 +7,18 @@ sum_k x[:, k::s] @ W_k (K clean MXU GEMMs; grads are also clean GEMMs
 under autodiff) beats XLA's conv lowering for them.
 
 Run: python tools/bench_conv_alternatives.py
+
+POSTSCRIPT (r3, 2026-08-17): the last untried road -- a hand-written
+Pallas kernel packing co across merged groups onto the 128 MXU lanes
+(phase-view input [n_rows, C*s], Q=ceil(k/s) shift-GEMMs, custom VJP
+with dgrad/wgrad kernels of the transposed structure) -- was built,
+parity-tested, and benched: fwd 5.8-8.7 ms vs XLA 4.0-4.7 standalone
+(XLA in-step is ~1.5 via better inter-op layouts). Its GEMMs sustained
+~96 TF/s issued; the merge x block-diagonal waste divides that to the
+same ~6 TF/s useful ceiling every other formulation hits, and sublane
+shifts measured only ~10% overhead. Conclusion: the wall is intrinsic
+to 16-out-channel groups, closed in all three directions (XLA rewrite,
+dense-ification, hand kernel). See CLAUDE.md perf ledger.
 """
 
 import sys
