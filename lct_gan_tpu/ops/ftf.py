@@ -136,7 +136,7 @@ def _ftf_kernel(x_ref, wih_ref, whh_ref, bih_ref, bhh_ref,
                 o_ref, hid_ref,
                 xp_scr, gru_scr, bwdg_scr, qkv_scr, ctx_scr, h_scr,
                 *, directions: int, num_heads: int, sub: int,
-                valid_len: int):
+                valid_len: int, pad_len: int):
     # Shapes carry Lp (sequence length padded to the f32 sublane tile, so
     # every in-kernel reshape merges/splits 8-aligned dims -- Mosaic rejects
     # unaligned shape casts); `valid_len` is the true L. Padded positions:
@@ -149,13 +149,20 @@ def _ftf_kernel(x_ref, wih_ref, whh_ref, bih_ref, bhh_ref,
     # GEMM computing both directions' gates -- L sequential steps instead
     # of 2L. Forward writes gru_scr[t], backward writes bwdg_scr[L-1-t]
     # (separate scratch: the two visit each t at different loop steps).
-    BS, Lp, C = x_ref.shape
-    L = valid_len
+    BS, L, C = x_ref.shape
     D = directions
     hd = C // num_heads
     bf16 = jnp.bfloat16
+    Lp = pad_len
+    assert L == valid_len
 
-    x = x_ref[...]                                   # [BS, Lp, C]
+    # The block arrives at the TRUE length L; padding to the aligned Lp
+    # happens here on the VMEM-resident value instead of as a host-side
+    # XLA pad of the whole [N, L, C] array (measured ~1 ms/block of pure
+    # HBM copy at inference shapes, plus the matching slice after).
+    x = x_ref[...]                                   # [BS, L, C]
+    if Lp != L:
+        x = jnp.pad(x, ((0, 0), (0, Lp - L), (0, 0)))
     xt = jnp.transpose(x, (1, 0, 2))                 # [Lp, BS, C] time-major
     n1 = _layer_norm(xt.reshape(Lp * BS, C), ln1s_ref[...], ln1b_ref[...])
 
@@ -263,7 +270,8 @@ def _ftf_kernel(x_ref, wih_ref, whh_ref, bih_ref, bhh_ref,
         comb = jnp.dot(a.astype(bf16), linw.astype(bf16),
                        preferred_element_type=jnp.float32) + linb_ref[...]
     comb = jnp.where(comb >= 0, comb, 0.2 * comb)
-    o_ref[...] = (s.reshape(BS * Lp, C) + comb).reshape(BS, Lp, C)
+    out = (s.reshape(BS * Lp, C) + comb).reshape(BS, Lp, C)
+    o_ref[...] = out[:, :L]
     if hid_ref is not None:
         # Per-direction hidden states for the fused backward kernel
         # (ops/ftf_bwd.py): with every h_t saved, the backward's hp
@@ -272,7 +280,7 @@ def _ftf_kernel(x_ref, wih_ref, whh_ref, bih_ref, bhh_ref,
             hid_tm = jnp.concatenate([gru_scr[...], bwdg_scr[...]], axis=-1)
         else:
             hid_tm = gru_scr[...]
-        hid_ref[...] = jnp.transpose(hid_tm, (1, 0, 2))
+        hid_ref[...] = jnp.transpose(hid_tm, (1, 0, 2))[:, :L]
 
 
 def _fused_ftf_pallas(x, ln1s, ln1b, w_ih, w_hh, b_ih, b_hh, ln2s, ln2b,
@@ -281,24 +289,35 @@ def _fused_ftf_pallas(x, ln1s, ln1b, w_ih, w_hh, b_ih, b_hh, ln2s, ln2b,
                       interpret, save_hidden=False, key_bias=None):
     N, L, C = x.shape
     D = 2 if bidirectional else 1
+    auto = block_seqs is None
     if block_seqs is None or sub is None:
         auto_bs, auto_sub = pick_ftf_tile(L, save_hidden)
         block_seqs = block_seqs or auto_bs
         sub = sub or auto_sub
     block_seqs = min(block_seqs, max(sub, ((N + 7) // 8) * 8))
+    if (auto and not save_hidden and N % block_seqs
+            and block_seqs // 2 >= sub and (block_seqs // 2) % sub == 0
+            and N % (block_seqs // 2) == 0):
+        # Inference: when the swept tile doesn't divide the sequence
+        # count but its half does, take the half -- the N-pad would copy
+        # the whole array through HBM twice (pad + slice, ~2 ms at
+        # B=128: the freq blocks run N = B*(T+3) = 128*129 sequences,
+        # which 256 doesn't divide). Measured net win on v5e (bench.py).
+        block_seqs //= 2
     if block_seqs % sub:
         raise ValueError(f"sub={sub} must divide block_seqs={block_seqs}")
 
-    # Pad the sequence axis to the sublane tile so every in-kernel reshape
-    # merges/splits aligned dims (f32 tile 8; the bf16 qkv scratch further
-    # needs the packed R = sub * Lp to be 16-aligned). Padded positions are
-    # masked/zeroed in-kernel and sliced off below.
+    # The kernel pads the sequence axis to the sublane tile IN VMEM (f32
+    # tile 8; the bf16 qkv scratch further needs the packed R = sub * Lp
+    # to be 16-aligned) -- blocks arrive at the true L, so no host-side
+    # whole-array pad/slice round-trips HBM. Only the sequence-count
+    # axis still pads to the tile multiple.
     Lp = -(-L // 8) * 8
     if (sub * Lp) % 16:
         Lp = -(-L // 16) * 16
     pad = (-N) % block_seqs
-    if pad or Lp != L:
-        x = jnp.pad(x, ((0, pad), (0, Lp - L), (0, 0)))
+    if pad:
+        x = jnp.pad(x, ((0, pad), (0, 0), (0, 0)))
     n_tiles = (N + pad) // block_seqs
 
     # Pack both directions for the single-chain recurrence: input proj
@@ -320,7 +339,8 @@ def _fused_ftf_pallas(x, ln1s, ln1b, w_ih, w_hh, b_ih, b_hh, ln2s, ln2b,
     bias = jnp.asarray(_block_mask_bias(sub, Lp, lookback, valid_len=L))
 
     base = functools.partial(_ftf_kernel, directions=D,
-                             num_heads=num_heads, sub=sub, valid_len=L)
+                             num_heads=num_heads, sub=sub, valid_len=L,
+                             pad_len=Lp)
     # Splice None for the optional refs absent from the call signature
     # (16 fixed inputs, then keyb_ref if key_bias is given, then o_ref,
     # then hid_ref if save_hidden) so the impl skips their use.
@@ -340,7 +360,7 @@ def _fused_ftf_pallas(x, ln1s, ln1b, w_ih, w_hh, b_ih, b_hh, ln2s, ln2b,
                             memory_space=pltpu.VMEM)
 
     in_specs = [
-        pl.BlockSpec((block_seqs, Lp, C), lambda i: (i, 0, 0),
+        pl.BlockSpec((block_seqs, L, C), lambda i: (i, 0, 0),
                      memory_space=pltpu.VMEM),
         _full((C, D * 3 * C)), _full((D * C, D * 3 * C)),
         _full((D * 3 * C,)), _full((D * 3 * C,)),
@@ -370,17 +390,17 @@ def _fused_ftf_pallas(x, ln1s, ln1b, w_ih, w_hh, b_ih, b_hh, ln2s, ln2b,
         C // num_heads) * 2
     if save_hidden:
         out_specs = (
-            pl.BlockSpec((block_seqs, Lp, C), lambda i: (i, 0, 0),
+            pl.BlockSpec((block_seqs, L, C), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_seqs, Lp, D * C), lambda i: (i, 0, 0),
+            pl.BlockSpec((block_seqs, L, D * C), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM))
         out_shape = (
-            jax.ShapeDtypeStruct((N + pad, Lp, C), jnp.float32),
-            jax.ShapeDtypeStruct((N + pad, Lp, D * C), jnp.float32))
+            jax.ShapeDtypeStruct((N + pad, L, C), jnp.float32),
+            jax.ShapeDtypeStruct((N + pad, L, D * C), jnp.float32))
     else:
-        out_specs = pl.BlockSpec((block_seqs, Lp, C), lambda i: (i, 0, 0),
+        out_specs = pl.BlockSpec((block_seqs, L, C), lambda i: (i, 0, 0),
                                  memory_space=pltpu.VMEM)
-        out_shape = jax.ShapeDtypeStruct((N + pad, Lp, C), jnp.float32)
+        out_shape = jax.ShapeDtypeStruct((N + pad, L, C), jnp.float32)
 
     out = pl.pallas_call(
         kernel,
@@ -413,10 +433,10 @@ def _fused_ftf_pallas(x, ln1s, ln1b, w_ih, w_hh, b_ih, b_hh, ln2s, ln2b,
     )(*inputs)
     if save_hidden:
         out, hid = out
-        if pad or Lp != L:
-            out, hid = out[:N, :L], hid[:N, :L]
+        if pad:
+            out, hid = out[:N], hid[:N]
         return out, hid
-    return out[:N, :L] if (pad or Lp != L) else out
+    return out[:N] if pad else out
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(16, 17, 18, 19, 20, 21))

@@ -131,9 +131,11 @@ def _ftf_bwd_kernel(x_ref, do_ref, hid_ref,
                     k5f_scr, k5b_scr, dhf_scr, dhb_scr,
                     qkv_scr, p_scr, ctx_scr, dctx_scr, dqkv_scr,
                     *, directions: int, num_heads: int, sub: int,
-                    valid_len: int, freq_concat: bool, precise: bool):
-    BS, Lp, C = x_ref.shape
-    L = valid_len
+                    valid_len: int, pad_len: int, freq_concat: bool,
+                    precise: bool):
+    BS, L, C = x_ref.shape
+    assert L == valid_len
+    Lp = pad_len
     D = directions
     hd = C // num_heads
     n_sub = BS // sub
@@ -158,9 +160,18 @@ def _ftf_bwd_kernel(x_ref, do_ref, hid_ref,
     def rowsumk(v):  # [rows, X] -> [1, X] f32
         return jnp.sum(v.astype(f32), axis=0, keepdims=True)
 
-    x = x_ref[...]                                    # [BS, Lp, C] f32
-    do = do_ref[...]
-    hid = hid_ref[...]                                # [BS, Lp, D*C]
+    # Blocks arrive at the true L; pad to the aligned Lp on the
+    # VMEM-resident values (ragged-L, like the forward kernel) instead of
+    # three host-side whole-array pads (x, dout, hid -- measured ~1.5 ms
+    # of HBM copies per block in the train step).
+    def lpad(v):
+        if Lp == L:
+            return v
+        return jnp.pad(v, ((0, 0), (0, Lp - L), (0, 0)))
+
+    x = lpad(x_ref[...])                              # [BS, Lp, C] f32
+    do = lpad(do_ref[...])
+    hid = lpad(hid_ref[...])                          # [BS, Lp, D*C]
 
     g = hid[..., :C]
     if D == 2:
@@ -423,7 +434,7 @@ def _ftf_bwd_kernel(x_ref, do_ref, hid_ref,
     dx_tm = _ln_bwd(dn1, xhat1, rstd1, ln1s_ref[...])
     dx = ds.reshape(BS, Lp, C) + jnp.transpose(
         dx_tm.reshape(Lp, BS, C), (1, 0, 2))
-    dx_ref[...] = dx
+    dx_ref[...] = dx[:, :L]
 
 
 def fused_ftf_bwd(x, ln1s, ln1b, w_ih, w_hh, b_ih, b_hh, ln2s, ln2b,
@@ -451,8 +462,8 @@ def fused_ftf_bwd(x, ln1s, ln1b, w_ih, w_hh, b_ih, b_hh, ln2s, ln2b,
     if (sub * Lp) % 16:
         Lp = -(-L // 16) * 16
     pad = (-N) % block_seqs
-    if pad or Lp != L:
-        padder = ((0, pad), (0, Lp - L), (0, 0))
+    if pad:
+        padder = ((0, pad), (0, 0), (0, 0))
         x = jnp.pad(x, padder)
         dout = jnp.pad(dout, padder)
         hid = jnp.pad(hid, padder)
@@ -473,19 +484,19 @@ def fused_ftf_bwd(x, ln1s, ln1b, w_ih, w_hh, b_ih, b_hh, ln2s, ln2b,
 
     kernel = functools.partial(
         _ftf_bwd_kernel, directions=D, num_heads=num_heads, sub=sub,
-        valid_len=L, freq_concat=freq_concat, precise=precise)
+        valid_len=L, pad_len=Lp, freq_concat=freq_concat, precise=precise)
 
     def _full(shape):
         return pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape),
                             memory_space=pltpu.VMEM)
 
-    tile = pl.BlockSpec((block_seqs, Lp, C), lambda i: (i, 0, 0),
+    tile = pl.BlockSpec((block_seqs, L, C), lambda i: (i, 0, 0),
                         memory_space=pltpu.VMEM)
-    tile_h = pl.BlockSpec((block_seqs, Lp, D * C), lambda i: (i, 0, 0),
+    tile_h = pl.BlockSpec((block_seqs, L, D * C), lambda i: (i, 0, 0),
                           memory_space=pltpu.VMEM)
 
     out_shapes = (
-        jax.ShapeDtypeStruct((N + pad, Lp, C), jnp.float32),      # dx
+        jax.ShapeDtypeStruct((N + pad, L, C), jnp.float32),       # dx
         jax.ShapeDtypeStruct((1, C), jnp.float32),                # dln1s
         jax.ShapeDtypeStruct((1, C), jnp.float32),                # dln1b
         jax.ShapeDtypeStruct((D, C, 3 * C), jnp.float32),         # dwih
@@ -560,7 +571,7 @@ def fused_ftf_bwd(x, ln1s, ln1b, w_ih, w_hh, b_ih, b_hh, ln2s, ln2b,
     (dx, dln1s, dln1b, dwih_d, dwhh_d, dbih_p, dbhh_p, dln2s, dln2b,
      dinw, dinb, doutw, doutb, dlinw, dlinb) = outs
 
-    dx = dx[:N, :L] if (pad or Lp != L) else dx
+    dx = dx[:N] if pad else dx
     dw_ih = jnp.stack([unpack_dense_gru_grads(dwih_d[d], G, H)
                        for d in range(D)])
     dw_hh = jnp.stack([unpack_dense_gru_grads(dwhh_d[d], G, H)
