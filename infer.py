@@ -121,8 +121,13 @@ def main():
         t0 = time.time()
         total_audio = 0.0
         n_done = 0
-        for n_done, uid in enumerate(ds.utt_ids, 1):
-            sample = ds[n_done - 1]
+        # Decode/resample on a background thread so the host IO overlaps
+        # the device's chunk pipeline (the bucketed path below already
+        # prefetches; this one used to decode serially).
+        decoded = Prefetcher(
+            ((uid, ds[i]) for i, uid in enumerate(ds.utt_ids)),
+            depth=max(2, args.num_workers))
+        for n_done, (uid, sample) in enumerate(decoded, 1):
             out = enhance_in_chunks(
                 lambda x: enhance(g_params, x), sample["noisy"],
                 args.sample_rate, chunk_seconds=args.chunk_seconds,
