@@ -233,3 +233,22 @@ def test_block_dispatch_matches_jnp_path(block_cls, kw, monkeypatch):
     out = block.apply({"params": params}, x)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=3e-2, atol=3e-2)
+
+
+def test_inference_tile_halving_when_divisor(monkeypatch):
+    """Inference (no save_hidden) halves an auto-picked tile when that
+    removes the whole-array N-pad (ops/ftf.py divisor adaptation; the
+    bench shapes hit N = B*(T+3) freq sequences, which the swept 256
+    tile does not divide). Output must be identical either way."""
+    import lct_gan_tpu.ops.ftf as ftf_mod
+
+    p = _make_params(jax.random.PRNGKey(7), bidirectional=True, concat=True)
+    # N = 24: auto tile would clamp to 24; force an auto pick of 16 so
+    # 24 % 16 != 0 while 8 divides -> halving branch fires.
+    monkeypatch.setattr(ftf_mod, "pick_ftf_tile",
+                        lambda length, save_hidden=False: (16, 4))
+    x = jax.random.normal(jax.random.PRNGKey(8), (24, 17, 64), jnp.float32)
+    out = _run(p, x, True, bidirectional=True, num_heads=4)
+    ref = _run(p, x, False, bidirectional=True, num_heads=4)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=3e-2, atol=3e-2)
