@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import queue
 import threading
+from concurrent.futures import ThreadPoolExecutor
 from typing import Dict, Iterator, Optional, Sequence
 
 import numpy as np
@@ -57,12 +58,21 @@ def batch_iterator(
     bucket: bool = False,
     seed: int = 0,
     epoch: int = 0,
+    num_workers: int = 0,
+    lookahead: int = 2,
 ) -> Iterator[Dict]:
     """Yield collated numpy batches from a ScpDataset.
 
     pad_to_segment: pad every batch to dataset.segment_length (fixed-shape
       training batches).
     bucket: pad full utterances to geometric length buckets (val/infer).
+    num_workers: > 0 decodes samples on a thread pool (the wav parse is
+      numpy and the native decoder is a GIL-releasing ctypes call), with
+      `lookahead` batches of decode futures submitted ahead of the
+      consumer -- the TPU-side equivalent of the reference DataLoader's
+      `num_workers=4` subprocess decode (train.py:118/136). 0 = serial
+      in-caller decode (identical batch contents either way: crops are
+      keyed on (seed, epoch, index), not on decode order).
     """
     if hasattr(dataset, "set_epoch"):
         dataset.set_epoch(epoch)  # resume-stable segment crops
@@ -72,9 +82,8 @@ def batch_iterator(
         rng.shuffle(order)
     n = len(order)
     end = n - (n % batch_size) if drop_last else n
-    for i in range(0, end, batch_size):
-        idx = order[i:i + batch_size]
-        samples = [dataset[int(j)] for j in idx]
+
+    def _collate(samples):
         pad_to: Optional[int] = None
         if pad_to_segment and dataset.segment_length is not None:
             pad_to = dataset.segment_length
@@ -83,7 +92,37 @@ def batch_iterator(
                 max(s["noisy"].shape[-1], s["clean"].shape[-1])
                 for s in samples)
             pad_to = bucket_length(mx)
-        yield collate(samples, pad_to=pad_to)
+        return collate(samples, pad_to=pad_to)
+
+    starts = range(0, end, batch_size)
+    if num_workers and num_workers > 0:
+        ex = ThreadPoolExecutor(max_workers=int(num_workers),
+                                thread_name_prefix="lct-decode")
+        try:
+            from collections import deque
+            pending: "deque" = deque()
+            it = iter(starts)
+            exhausted = False
+            while True:
+                while not exhausted and len(pending) < max(1, lookahead):
+                    try:
+                        i = next(it)
+                    except StopIteration:
+                        exhausted = True
+                        break
+                    idx = order[i:i + batch_size]
+                    pending.append(
+                        [ex.submit(dataset.__getitem__, int(j))
+                         for j in idx])
+                if not pending:
+                    break
+                yield _collate([f.result() for f in pending.popleft()])
+        finally:
+            ex.shutdown(wait=False, cancel_futures=True)
+    else:
+        for i in starts:
+            idx = order[i:i + batch_size]
+            yield _collate([dataset[int(j)] for j in idx])
 
 
 class Prefetcher:

@@ -54,6 +54,9 @@ class DataConfig:
     train_scp: str = "train.scp"
     test_scp: str = "test.scp"
     num_prefetch: int = 4
+    # Decode-thread count for batch_iterator (reference train.py:118/136
+    # num_workers). Also sizes the PESQ/STOI host scoring pool.
+    num_workers: int = 4
 
 
 def _pad_batch_to(batch: Dict[str, Any], size: int) -> Dict[str, Any]:
@@ -114,7 +117,8 @@ def validate(eval_step, g_params, val_ds: ScpDataset, cfg: TrainConfig,
 
     def run(pool):
         nonlocal total_mr, total_si, count
-        for batch in batch_iterator(val_ds, batch_size, bucket=True):
+        for batch in batch_iterator(val_ds, batch_size, bucket=True,
+                                    num_workers=num_workers):
             b = batch["noisy"].shape[0]
             padded = _pad_batch_to(batch, batch_size)
             lengths = np.asarray(padded["lengths"])
@@ -251,7 +255,8 @@ def run_training(cfg: TrainConfig,
         it = Prefetcher(
             batch_iterator(train_ds, cfg.batch_size, shuffle=True,
                            drop_last=True, pad_to_segment=True,
-                           seed=cfg.seed, epoch=epoch),
+                           seed=cfg.seed, epoch=epoch,
+                           num_workers=data.num_workers),
             depth=data.num_prefetch, sharding=bsh)
         n_steps = 0
         for step_idx, batch in enumerate(it, 1):
@@ -292,7 +297,8 @@ def run_training(cfg: TrainConfig,
             val_metrics = validate(eval_step, state.g_params, val_ds, cfg,
                                    cfg.batch_size,
                                    compute_pesq=compute_pesq,
-                                   compute_stoi=compute_stoi)
+                                   compute_stoi=compute_stoi,
+                                   num_workers=data.num_workers)
             msg = (f"[Epoch {epoch:03d}] Val MR-STFT="
                    f"{val_metrics['val_mrstft']:.4f} | "
                    f"SI-SDR={val_metrics['val_si_sdr']:.3f}")

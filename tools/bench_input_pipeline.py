@@ -1,0 +1,121 @@
+#!/usr/bin/env python
+"""Host input-pipeline throughput vs. the TPU train-step rate.
+
+The reference hides host decode behind 4 DataLoader worker subprocesses
+(train.py:118/136); our pipeline decodes on a thread pool inside
+batch_iterator (data/pipeline.py). This tool answers: on THIS 1-core
+host, with realistic utterance lengths, can decode+resample+crop+collate
+sustain the train step rate at B=64 -- and with how much headroom?
+
+Builds a synthetic tree of real-length wavs (2-10 s, 16 kHz, int16 PCM
+like VoiceBank), then measures sustained batches/s through the REAL path
+(ScpDataset + batch_iterator, segment crop mode) for several worker
+counts, plus the bucketed val path. Pure host benchmark: no jax import.
+
+Usage: python tools/bench_input_pipeline.py [--n 256] [--batch 64]
+           [--resample]  # store 48 kHz files to also pay resample cost
+"""
+
+import argparse
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from lct_gan_tpu.data import ScpDataset, batch_iterator, write_wav  # noqa: E402
+
+# Perf-ledger train-step time (tools/profile_train_step.py 64 --bf16).
+TRAIN_STEP_MS_B64 = 239.5
+
+
+def make_tree(root: str, n: int, sr: int, seed: int = 0):
+    rng = np.random.default_rng(seed)
+    for sub in ("clean_train", "noisy_train"):
+        os.makedirs(os.path.join(root, sub), exist_ok=True)
+    ids = []
+    total_sec = 0.0
+    for i in range(n):
+        uid = f"utt{i:04d}"
+        ids.append(uid)
+        # VoiceBank-like length distribution: mostly 2-6 s, tail to 10 s.
+        sec = float(np.clip(rng.gamma(4.0, 1.1), 1.5, 10.0))
+        total_sec += sec
+        T = int(sr * sec)
+        clean = (rng.standard_normal(T) * 0.1).astype(np.float32)
+        noise = (rng.standard_normal(T) * 0.05).astype(np.float32)
+        # write_wav default is int16 PCM like the real corpora.
+        write_wav(os.path.join(root, "clean_train", f"{uid}.wav"),
+                  clean, sr)
+        write_wav(os.path.join(root, "noisy_train", f"{uid}.wav"),
+                  clean + noise, sr)
+    with open(os.path.join(root, "train.scp"), "w") as f:
+        f.write("\n".join(ids) + "\n")
+    return total_sec / n
+
+
+def drain(it):
+    t0 = time.time()
+    nb = 0
+    nbytes = 0
+    for b in it:
+        nb += 1
+        nbytes += b["noisy"].nbytes + b["clean"].nbytes
+    dt = time.time() - t0
+    return nb, dt, nbytes
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=256)
+    ap.add_argument("--batch", type=int, default=64)
+    ap.add_argument("--resample", action="store_true",
+                    help="store 48 kHz files (decode pays 48->16 resample)")
+    ap.add_argument("--workers", type=int, nargs="*", default=[0, 2, 4, 8])
+    args = ap.parse_args()
+
+    file_sr = 48000 if args.resample else 16000
+    root = tempfile.mkdtemp(prefix="lct_pipe_bench_")
+    try:
+        mean_sec = make_tree(root, args.n, file_sr)
+        print(f"tree: {args.n} pairs, mean {mean_sec:.2f}s @ {file_sr} Hz, "
+              f"B={args.batch}", flush=True)
+
+        ds = ScpDataset(root, "train.scp", "train", sample_rate=16000,
+                        segment_length=32000, random_segment=True)
+        step_rate = 1000.0 / TRAIN_STEP_MS_B64
+        results = {}
+        for w in args.workers:
+            # warm the page cache once so worker counts compare compute,
+            # not first-touch disk IO
+            if w == args.workers[0]:
+                drain(batch_iterator(ds, args.batch, shuffle=True,
+                                     drop_last=True, pad_to_segment=True))
+            nb, dt, _ = drain(batch_iterator(
+                ds, args.batch, shuffle=True, drop_last=True,
+                pad_to_segment=True, num_workers=w))
+            rate = nb / dt
+            results[w] = rate
+            print(f"train path num_workers={w}: {nb} batches in {dt:.2f}s "
+                  f"= {rate:.2f} batches/s "
+                  f"({rate / step_rate:.2f}x the {TRAIN_STEP_MS_B64:.0f} ms "
+                  f"B=64 step rate)", flush=True)
+
+        nb, dt, _ = drain(batch_iterator(ds, args.batch, bucket=True,
+                                         num_workers=4))
+        print(f"val bucketed path num_workers=4: {nb} batches in {dt:.2f}s "
+              f"= {nb / dt:.2f} batches/s", flush=True)
+
+        best = max(results.values())
+        print(f"headroom: best {best:.2f} batches/s vs step "
+              f"{step_rate:.2f}/s -> {best / step_rate:.2f}x")
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -29,7 +29,8 @@ def parse_args():
     parser.add_argument("--segment_seconds", type=float, default=2.0)
     parser.add_argument("--batch_size", type=int, default=8)
     parser.add_argument("--num_workers", type=int, default=4,
-                        help="Prefetch depth (host-side pipeline).")
+                        help="Host decode threads + prefetch depth "
+                             "(reference train.py:118 num_workers).")
 
     # Optimization
     parser.add_argument("--epochs", type=int, default=100)
@@ -125,6 +126,7 @@ def main():
         train_scp=args.train_scp,
         test_scp=args.test_scp,
         num_prefetch=max(2, args.num_workers),
+        num_workers=args.num_workers,
     )
     mesh = make_mesh(data_parallel=args.data_parallel)
     run_training(cfg, data, expr_root=args.expr_root, resume=args.resume,
