@@ -134,10 +134,14 @@ def _mhsa_kernel(x_ref, in_w_ref, in_b_ref, out_w_ref, out_b_ref, bias_ref,
     out_w = out_w_ref[...]
     bias = bias_ref[...]
     if keyb_ref is not None:
-        # Per-key additive bias for this tile's packed rows ([1, R] f32,
-        # flattened on the host so no in-kernel unaligned reshape is
-        # needed); broadcast over query rows below.
-        bias = bias + keyb_ref[0][None, :]
+        # Per-key additive bias for this tile's packed rows ([1, 1, R]
+        # f32, flattened on the host so no in-kernel unaligned reshape is
+        # needed); broadcast over query rows below. The explicit size-1
+        # middle dim keeps the BlockSpec's last-two dims EQUAL to the
+        # array dims -- Mosaic rejects a (1, R) block over an
+        # [n_tiles, R] array (second-to-last dim must be 8-divisible or
+        # full; bit on real TPU at L=644 bucketed inference, 2026-08-18).
+        bias = bias + keyb_ref[0, 0][None, :]
 
     qkv = jnp.dot(x.astype(jnp.bfloat16), in_w.astype(jnp.bfloat16),
                   preferred_element_type=jnp.float32) + in_b_ref[...]
@@ -201,11 +205,13 @@ def _fused_mhsa_pallas(x, in_proj_kernel, in_proj_bias, out_proj_kernel,
     inputs = [x.astype(jnp.float32), in_proj_kernel, in_proj_bias,
               out_proj_kernel, out_proj_bias, bias]
     if key_bias is not None:
-        # [N, L] per-key additive bias -> [n_tiles, R] host-side flatten
-        # (free XLA reshape; avoids an unaligned in-kernel merge).
+        # [N, L] per-key additive bias -> [n_tiles, 1, R] host-side
+        # flatten (free XLA reshape; avoids an unaligned in-kernel
+        # merge). 3D so the block's LAST TWO dims (1, R) equal the array
+        # dims -- see the kernel comment.
         kb = jnp.pad(key_bias.astype(jnp.float32), ((0, pad), (0, 0)))
-        inputs.append(kb.reshape(n_tiles, R))
-        in_specs.append(pl.BlockSpec((1, R), lambda i: (i, 0),
+        inputs.append(kb.reshape(n_tiles, 1, R))
+        in_specs.append(pl.BlockSpec((1, 1, R), lambda i: (i, 0, 0),
                                      memory_space=pltpu.VMEM))
         kernel = base
     else:

@@ -136,7 +136,7 @@ def _ftf_kernel(x_ref, wih_ref, whh_ref, bih_ref, bhh_ref,
                 o_ref, hid_ref,
                 xp_scr, gru_scr, bwdg_scr, qkv_scr, ctx_scr, h_scr,
                 *, directions: int, num_heads: int, sub: int,
-                valid_len: int, pad_len: int):
+                valid_len: int, pad_len: int, precise: bool = False):
     # Shapes carry Lp (sequence length padded to the f32 sublane tile, so
     # every in-kernel reshape merges/splits 8-aligned dims -- Mosaic rejects
     # unaligned shape casts); `valid_len` is the true L. Padded positions:
@@ -152,7 +152,9 @@ def _ftf_kernel(x_ref, wih_ref, whh_ref, bih_ref, bhh_ref,
     BS, L, C = x_ref.shape
     D = directions
     hd = C // num_heads
-    bf16 = jnp.bfloat16
+    # `precise` keeps every GEMM in f32 (testing mode: isolates wiring
+    # errors from bf16 noise so witnesses can assert tight bands).
+    bf16 = jnp.float32 if precise else jnp.bfloat16
     Lp = pad_len
     assert L == valid_len
 
@@ -230,8 +232,12 @@ def _ftf_kernel(x_ref, wih_ref, whh_ref, bih_ref, bhh_ref,
         cb = bias
         if keyb_ref is not None:
             # Per-key additive bias for this chunk's packed rows (host-
-            # flattened [n_sub, R]); broadcast over query rows.
-            cb = cb + keyb_ref[c][None, :]
+            # flattened [1, n_sub, R]: the leading size-1 dim is the tile
+            # axis, so the BlockSpec's last-two dims equal the array dims
+            # -- Mosaic rejects blocks whose second-to-last dim is
+            # neither 8-divisible nor full, which small n_sub configs
+            # hit); broadcast over query rows.
+            cb = cb + keyb_ref[0, c][None, :]
         parts = []
         for h in range(num_heads):
             q = qm[:, h * hd:(h + 1) * hd]
@@ -286,7 +292,8 @@ def _ftf_kernel(x_ref, wih_ref, whh_ref, bih_ref, bhh_ref,
 def _fused_ftf_pallas(x, ln1s, ln1b, w_ih, w_hh, b_ih, b_hh, ln2s, ln2b,
                       in_w, in_b, out_w, out_b, lin_w, lin_b,
                       bidirectional, num_heads, lookback, block_seqs, sub,
-                      interpret, save_hidden=False, key_bias=None):
+                      interpret, save_hidden=False, key_bias=None,
+                      precise=False):
     N, L, C = x.shape
     D = 2 if bidirectional else 1
     auto = block_seqs is None
@@ -340,7 +347,7 @@ def _fused_ftf_pallas(x, ln1s, ln1b, w_ih, w_hh, b_ih, b_hh, ln2s, ln2b,
 
     base = functools.partial(_ftf_kernel, directions=D,
                              num_heads=num_heads, sub=sub, valid_len=L,
-                             pad_len=Lp)
+                             pad_len=Lp, precise=precise)
     # Splice None for the optional refs absent from the call signature
     # (16 fixed inputs, then keyb_ref if key_bias is given, then o_ref,
     # then hid_ref if save_hidden) so the impl skips their use.
@@ -380,9 +387,9 @@ def _fused_ftf_pallas(x, ln1s, ln1b, w_ih, w_hh, b_ih, b_hh, ln2s, ln2b,
         # positions get 0 -- the block bias already masks keys >= L.
         kb = jnp.pad(key_bias.astype(jnp.float32),
                      ((0, pad), (0, Lp - L)))
-        inputs.append(kb.reshape(n_tiles * (block_seqs // sub), R))
+        inputs.append(kb.reshape(n_tiles, block_seqs // sub, R))
         in_specs.append(
-            pl.BlockSpec((block_seqs // sub, R), lambda i: (i, 0),
+            pl.BlockSpec((1, block_seqs // sub, R), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM))
 
     gru_flops = 2 * D * (N + pad) * Lp * C * 3 * C * 2  # in-proj + recur
@@ -414,8 +421,9 @@ def _fused_ftf_pallas(x, ln1s, ln1b, w_ih, w_hh, b_ih, b_hh, ln2s, ln2b,
             pltpu.VMEM((Lp, block_seqs, C) if D == 2 else (8, 8, C),
                        jnp.float32),                            # gru bwd out
             pltpu.VMEM((block_seqs // sub, R, 3 * C),
-                       jnp.bfloat16),                           # qkv
-            pltpu.VMEM((block_seqs // sub, R, C), jnp.bfloat16),  # attn ctx
+                       jnp.float32 if precise else jnp.bfloat16),  # qkv
+            pltpu.VMEM((block_seqs // sub, R, C),
+                       jnp.float32 if precise else jnp.bfloat16),  # attn ctx
             pltpu.VMEM((block_seqs, D * C), jnp.float32),       # carry
         ],
         cost_estimate=pl.CostEstimate(
@@ -439,22 +447,23 @@ def _fused_ftf_pallas(x, ln1s, ln1b, w_ih, w_hh, b_ih, b_hh, ln2s, ln2b,
     return out[:N] if pad else out
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(16, 17, 18, 19, 20, 21))
+@functools.partial(jax.custom_vjp,
+                   nondiff_argnums=(16, 17, 18, 19, 20, 21, 22))
 def _fused_ftf(x, ln1s, ln1b, w_ih, w_hh, b_ih, b_hh, ln2s, ln2b,
                in_w, in_b, out_w, out_b, lin_w, lin_b, key_bias,
                bidirectional, num_heads, lookback, block_seqs, sub,
-               interpret):
+               interpret, precise):
     return _fused_ftf_pallas(x, ln1s, ln1b, w_ih, w_hh, b_ih, b_hh,
                              ln2s, ln2b, in_w, in_b, out_w, out_b,
                              lin_w, lin_b, bidirectional, num_heads,
                              lookback, block_seqs, sub, interpret,
-                             key_bias=key_bias)
+                             key_bias=key_bias, precise=precise)
 
 
 def _fused_ftf_fwd(x, ln1s, ln1b, w_ih, w_hh, b_ih, b_hh, ln2s, ln2b,
                    in_w, in_b, out_w, out_b, lin_w, lin_b, key_bias,
                    bidirectional, num_heads, lookback, block_seqs, sub,
-                   interpret):
+                   interpret, precise):
     import os
     # The fused backward kernel (ops/ftf_bwd.py) has no key-bias input;
     # key_bias only occurs on bucketed val/infer batches, which never
@@ -465,7 +474,8 @@ def _fused_ftf_fwd(x, ln1s, ln1b, w_ih, w_hh, b_ih, b_hh, ln2s, ln2b,
                             ln2s, ln2b, in_w, in_b, out_w, out_b,
                             lin_w, lin_b, bidirectional, num_heads,
                             lookback, block_seqs, sub, interpret,
-                            save_hidden=not jnp_bwd, key_bias=key_bias)
+                            save_hidden=not jnp_bwd, key_bias=key_bias,
+                            precise=precise)
     if jnp_bwd:
         hid = None
     else:
@@ -475,7 +485,7 @@ def _fused_ftf_fwd(x, ln1s, ln1b, w_ih, w_hh, b_ih, b_hh, ln2s, ln2b,
 
 
 def _fused_ftf_bwd(bidirectional, num_heads, lookback, block_seqs, sub,
-                   interpret, res, g):
+                   interpret, precise, res, g):
     *primals, key_bias, hid = res
     if hid is None:  # LCT_FTF_JNP_BWD escape hatch: jnp recompute VJP
         _, vjp = jax.vjp(
@@ -488,7 +498,7 @@ def _fused_ftf_bwd(bidirectional, num_heads, lookback, block_seqs, sub,
     from lct_gan_tpu.ops.ftf_bwd import fused_ftf_bwd
     return fused_ftf_bwd(*primals, hid, g, bidirectional=bidirectional,
                          num_heads=num_heads, lookback=lookback,
-                         interpret=interpret) + (None,)
+                         interpret=interpret, precise=precise) + (None,)
 
 
 _fused_ftf.defvjp(_fused_ftf_fwd, _fused_ftf_bwd)
@@ -497,7 +507,7 @@ _fused_ftf.defvjp(_fused_ftf_fwd, _fused_ftf_bwd)
 @functools.partial(
     jax.jit,
     static_argnames=("bidirectional", "num_heads", "lookback", "block_seqs",
-                     "sub", "interpret"))
+                     "sub", "interpret", "precise"))
 def fused_ftf_block(x: jax.Array,
                     ln1_scale, ln1_bias,
                     w_ih, w_hh, b_ih, b_hh,
@@ -511,7 +521,8 @@ def fused_ftf_block(x: jax.Array,
                     key_bias: Optional[jax.Array] = None,
                     block_seqs: Optional[int] = None,
                     sub: Optional[int] = None,
-                    interpret: bool = False) -> jax.Array:
+                    interpret: bool = False,
+                    precise: bool = False) -> jax.Array:
     """Fused FTF block over x [N, L, C] -> [N, L, C] f32.
 
     GRU params in GroupedGRU layout ([D, G, H, 3H] / [D, G, 3H]); attention
@@ -519,8 +530,13 @@ def fused_ftf_block(x: jax.Array,
     (concat(gru, attn)), [C, C] = time block (attention only).
     key_bias: optional [N, L] per-key additive attention bias (0/-1e30)
     hiding zero-padded frames of bucketed batches from every query.
-    Differentiable (custom VJP -> ftf_block_reference)."""
+    Differentiable (custom VJP -> ftf_block_reference); key_bias is
+    treated as a NON-differentiable constant (its cotangent is zeros) —
+    it only occurs on bucketed val/infer batches, never under grad.
+    precise=True keeps every GEMM (fwd + fused bwd) in f32: a TESTING
+    mode (used by the multichip witness, LCT_FTF_PRECISE=1) that isolates
+    kernel wiring from bf16 noise; larger tiles may not fit VMEM."""
     return _fused_ftf(x, ln1_scale, ln1_bias, w_ih, w_hh, b_ih, b_hh,
                       ln2_scale, ln2_bias, in_w, in_b, out_w, out_b,
                       lin_w, lin_b, key_bias, bidirectional, num_heads,
-                      lookback, block_seqs, sub, interpret)
+                      lookback, block_seqs, sub, interpret, precise)

@@ -66,6 +66,36 @@ def test_fused_ftf_matches_reference(N, L, bidi, lookback):
     assert np.corrcoef(a, b)[0, 1] > 0.9995
 
 
+@pytest.mark.parametrize("bidi", [True, False])
+def test_fused_ftf_precise_mode_is_tight(bidi):
+    """precise=True (all-f32 GEMMs, fwd AND fused bwd) must agree with
+    the f32 reference to reduction-order noise -- the band the multichip
+    witness (__graft_entry__.py third leg) relies on."""
+    p = _make_params(jax.random.PRNGKey(7), bidirectional=bidi, concat=bidi)
+    x = jax.random.normal(jax.random.PRNGKey(8), (8, 17, 64), jnp.float32)
+    w = jax.random.normal(jax.random.PRNGKey(9), x.shape, jnp.float32)
+
+    ref = _run(p, x, False, bidirectional=bidi, num_heads=4)
+    out = _run(p, x, True, bidirectional=bidi, num_heads=4,
+               block_seqs=8, sub=4, precise=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+    def loss(fused, x, p):
+        out = _run(p, x, fused, bidirectional=bidi, num_heads=4,
+                   **({"block_seqs": 8, "sub": 4, "precise": True}
+                      if fused else {}))
+        return jnp.sum(out * w)
+
+    g_ref = jax.grad(loss, argnums=(1, 2))(False, x, p)
+    g_fused = jax.grad(loss, argnums=(1, 2))(True, x, p)
+    for ref_leaf, fused_leaf in zip(jax.tree.leaves(g_ref),
+                                    jax.tree.leaves(g_fused)):
+        np.testing.assert_allclose(np.asarray(fused_leaf),
+                                   np.asarray(ref_leaf),
+                                   rtol=2e-4, atol=2e-5)
+
+
 def test_fused_ftf_no_cross_sequence_leak():
     p = _make_params(jax.random.PRNGKey(2))
     N, L = 9, 12
