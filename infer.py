@@ -148,12 +148,18 @@ def main():
     # (= the utterance itself) -> exact shapes, no attention-over-padding.
     batch_size = 1 if args.exact_lengths else args.batch_size
     it = Prefetcher(
-        batch_iterator(ds, batch_size, bucket=not args.exact_lengths),
+        batch_iterator(ds, batch_size, bucket=not args.exact_lengths,
+                       num_workers=args.num_workers),
         depth=max(2, args.num_workers))
     for batch in it:
-        enhanced = np.asarray(
-            enhance(g_params, batch["noisy"],
-                    np.asarray(batch["lengths"], dtype=np.int32)))
+        # Exact-lengths mode: the shapes ARE the lengths, so skip the
+        # key-bias masking entirely (lengths=None). Passing lengths here
+        # would still mask the 3 conv-derived trailing bottleneck frames
+        # out of the time attention -- not a no-op vs the unmasked
+        # exact-shape run this flag promises.
+        lengths = (None if args.exact_lengths
+                   else np.asarray(batch["lengths"], dtype=np.int32))
+        enhanced = np.asarray(enhance(g_params, batch["noisy"], lengths))
         for i, uid in enumerate(batch["id"]):
             L = int(batch["lengths"][i])
             wave = enhanced[i] if args.pad_outputs else enhanced[i, :L]

@@ -77,6 +77,8 @@ def _fused_ftf_dispatch(seq: jax.Array, ln1, gru, ln2, attn, lin, *,
     (lct_gan_tpu/ops/ftf.py) when the dispatch policy allows; returns None
     to take the composed jnp path. Collecting params via return_params
     keeps the parameter tree identical on both paths."""
+    import os
+
     from lct_gan_tpu.ops.dispatch import pallas_mode
     from lct_gan_tpu.ops.ftf import MAX_FTF_SEQ, fused_ftf_block
 
@@ -84,6 +86,9 @@ def _fused_ftf_dispatch(seq: jax.Array, ln1, gru, ln2, attn, lin, *,
     N, L, C = seq.shape
     if mode is None or L > MAX_FTF_SEQ:
         return None
+    # Testing mode: all-f32 kernel GEMMs (fwd + fused bwd) so witnesses
+    # can assert tight numerical bands (see __graft_entry__.py).
+    precise = bool(os.environ.get("LCT_FTF_PRECISE"))
 
     ln1_s, ln1_b = ln1(seq, return_params=True)
     w_ih, w_hh, b_ih, b_hh = gru(return_params=True)
@@ -96,7 +101,7 @@ def _fused_ftf_dispatch(seq: jax.Array, ln1, gru, ln2, attn, lin, *,
         seq, ln1_s, ln1_b, w_ih, w_hh, b_ih, b_hh, ln2_s, ln2_b,
         in_w, in_b, out_w, out_b, lin_w, lin_b,
         bidirectional=bidirectional, num_heads=num_heads, lookback=lookback,
-        key_bias=key_bias, interpret=(mode == "interpret"))
+        key_bias=key_bias, interpret=(mode == "interpret"), precise=precise)
 
 
 class TorchConvTranspose(nn.Module):
@@ -273,11 +278,12 @@ class LctGenerator(nn.Module):
                  frames_valid: Optional[jax.Array] = None) -> jax.Array:
         # frames_valid [B]: valid INPUT frame count per row (bucketed
         # batches). Threaded to the time block's attention key mask. The
-        # encoder convs are stride-1 in time (each level grows T by one
-        # zero-padded frame), so the input count is used unchanged at the
-        # bottleneck: frames the convs derive purely from padding differ
-        # from exact-length inference only within the 2-frame kernel
-        # footprint, the same local edge effect conv zero-padding causes.
+        # encoder convs are stride-1 in time and each level grows T by one
+        # frame (kernel 2, pad (1,1)), so the last valid input frame's
+        # receptive field extends to bottleneck frame frames_valid+3-1:
+        # those trailing bottleneck frames carry real content and are what
+        # exact-length inference attends to. Mask keys at frames_valid +
+        # n_levels so bucketed rows track the exact-length run.
         cfg = self.cfg
         if noisy_mag.ndim != 4 or noisy_mag.shape[1] != 1:
             raise ValueError(
@@ -307,10 +313,13 @@ class LctGenerator(nn.Module):
         # FTF bottleneck: F -> T -> F (generator.py:581-583)
         h = FreqGRUBlock(channels=e3, num_heads=cfg.num_heads,
                          groups=cfg.gru_groups, name="GRUf1")(x3)
+        bottleneck_valid = None
+        if frames_valid is not None:
+            bottleneck_valid = frames_valid + len(cfg.enc_channels)
         h = TimeGRUBlock(channels=e3, num_heads=cfg.num_heads,
                          groups=cfg.gru_groups,
                          max_time_context=cfg.max_time_context,
-                         name="GRUt1")(h, frames_valid=frames_valid)
+                         name="GRUt1")(h, frames_valid=bottleneck_valid)
         h = FreqGRUBlock(channels=e3, num_heads=cfg.num_heads,
                          groups=cfg.gru_groups, name="GRUf2")(h)
 
@@ -380,13 +389,32 @@ class LctEnhancer(nn.Module):
             # below, a bucketed row's enhancement matches its exact-length
             # result up to local conv-edge effects -- and is invariant to
             # the bucket size.
+            # Only n_fft//2 samples past each row's end are ever read (the
+            # deepest boundary-straddling frame), so build the reflected
+            # tail from a per-row W-sample window instead of a full-width
+            # [B, T] take_along_axis -- the wide gather costs 42.9 ms at
+            # B=128 x 2 s on v5e (vs 2.0 ms for this form; TPU-measured
+            # 2026-08-18) and was doubling bucketed-inference step time.
             T = noisy_wave.shape[-1]
-            pos = jnp.arange(T)[None, :]
-            ref_idx = jnp.clip(2 * lengths[:, None] - 2 - pos, 0, T - 1)
-            tail = jnp.take_along_axis(noisy_wave, ref_idx, axis=-1)
-            in_tail = (pos >= lengths[:, None]) & (
-                pos < lengths[:, None] + cfg.n_fft // 2)
-            noisy_wave = jnp.where(in_tail, tail, noisy_wave)
+            W = cfg.n_fft // 2
+            if T >= W:
+                k = jnp.arange(W)
+
+                def _row_tail(row, L):
+                    # tail[k] = row[clip(L - 2 - k, 0, T-1)]; for L >= W+1
+                    # this is flip(row[L-1-W : L-1]), and the in-window
+                    # clip reproduces the index-0 clamp for tiny L.
+                    start = jnp.clip(L - 1 - W, 0, T - W)
+                    seg = jax.lax.dynamic_slice(row, (start,), (W,))
+                    return jnp.take(seg, jnp.clip(L - 2 - k - start,
+                                                  0, W - 1))
+
+                tails = jax.vmap(_row_tail)(noisy_wave, lengths)
+                padded = jnp.pad(noisy_wave, ((0, 0), (0, W)))
+                upd = jax.vmap(
+                    lambda r, t, L: jax.lax.dynamic_update_slice(
+                        r, t, (L,)))(padded, tails, lengths)
+                noisy_wave = upd[:, :T]
         noisy_stft = stft(noisy_wave, cfg)            # [B, F, N]
         noisy_mag = magnitude(noisy_stft)[:, None]    # [B, 1, F, N]
         frames_valid = None
