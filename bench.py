@@ -12,8 +12,17 @@ workload as this benchmark (torch 2.13.0+cpu, 1 thread, batch 128 x 2 s
 `python tools/bench_reference_torch.py --batch 128 --iters 2`.
 vs_baseline is our TPU throughput over that number. Details go to stderr;
 the JSON line is the only stdout output.
+
+`--full` switches to the full-utterance workload validation/inference
+actually run (VERDICT r3 weak #2): 64 utterances drawn from a seeded
+2-10 s length distribution, batched in scp order at B=8 and padded to
+geometric buckets with true `lengths` (exactly infer.py's bucketed path).
+Throughput counts TRUE audio seconds, not padding. Baseline for --full:
+reference torch-CPU at the same utterance set, 2.12 audio-sec/s
+(`python tools/bench_reference_torch.py --full`).
 """
 
+import argparse
 import json
 import sys
 import time
@@ -21,6 +30,9 @@ import time
 # Reference torch-CPU throughput at this benchmark's exact workload
 # (B=128 x 2 s), measured 2026-08-16 by tools/bench_reference_torch.py.
 TORCH_CPU_BASELINE_AUDIO_SEC_PER_SEC = 11.68
+# torch-CPU at the --full workload (same seeded lengths, B=8 bucketed),
+# measured 2026-08-18 by tools/bench_reference_torch.py --full.
+TORCH_CPU_FULL_BASELINE = 2.12
 
 BATCH = 128
 SECONDS = 2.0
@@ -29,12 +41,24 @@ WARMUP = 3
 ITERS = 10
 REPS = 3  # median-of-REPS timing loops: reproducible headline number
 
+FULL_N_UTTS = 64
+FULL_BATCH = 8
+
 
 def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
-def main():
+def full_utterance_lengths(n=FULL_N_UTTS, sr=SR, seed=7):
+    """Seeded VoiceBank-like utterance lengths (samples), 1.5-10 s."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    secs = np.clip(rng.gamma(4.0, 1.1, size=n), 1.5, 10.0)
+    return [int(s * sr) for s in secs]
+
+
+def _setup():
     import jax
     import jax.numpy as jnp
 
@@ -47,10 +71,17 @@ def main():
 
     cfg = TrainConfig()
     enhancer, _, _ = build_models(cfg)
-    T = int(SECONDS * SR)
-    wave = 0.1 * jax.random.normal(jax.random.PRNGKey(1), (BATCH, T),
-                                   jnp.float32)
+    wave = 0.1 * jax.random.normal(jax.random.PRNGKey(1),
+                                   (BATCH, int(SECONDS * SR)), jnp.float32)
     params = enhancer.init(jax.random.PRNGKey(0), wave)["params"]
+    return enhancer, params, wave
+
+
+def run_fixed():
+    import jax
+    import jax.numpy as jnp
+
+    enhancer, params, wave = _setup()
 
     @jax.jit
     def enhance(p, x):
@@ -85,6 +116,73 @@ def main():
         "vs_baseline": round(value / TORCH_CPU_BASELINE_AUDIO_SEC_PER_SEC,
                              2),
     }))
+
+
+def run_full():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from lct_gan_tpu.data import bucket_length
+
+    enhancer, params, _ = _setup()
+
+    @jax.jit
+    def enhance(p, x, lengths):
+        out, _ = enhancer.apply({"params": p}, x, lengths=lengths)
+        return out
+
+    rng = np.random.default_rng(11)
+    lens = full_utterance_lengths()
+    batches = []
+    total_audio = 0.0
+    for i in range(0, len(lens), FULL_BATCH):
+        chunk = lens[i:i + FULL_BATCH]
+        pad_to = bucket_length(max(chunk))
+        x = np.zeros((len(chunk), pad_to), np.float32)
+        for j, L in enumerate(chunk):
+            x[j, :L] = 0.1 * rng.standard_normal(L)
+        batches.append((jnp.asarray(x),
+                        jnp.asarray(np.asarray(chunk, np.int32))))
+        total_audio += sum(chunk) / SR
+    shapes = sorted({tuple(b[0].shape) for b in batches})
+    log(f"--full: {len(lens)} utts, {total_audio:.1f}s audio, "
+        f"{len(batches)} batches, bucket shapes {shapes}")
+
+    t0 = time.time()
+    for x, ln in batches:  # compile every bucket shape
+        float(jnp.sum(enhance(params, x, ln)))
+    log(f"compile+first pass: {time.time() - t0:.2f}s")
+    for x, ln in batches:  # warm pass
+        float(jnp.sum(enhance(params, x, ln)))
+
+    values = []
+    for rep in range(REPS):
+        t0 = time.time()
+        out = [enhance(params, x, ln) for x, ln in batches]
+        float(jnp.sum(out[-1]))
+        dt = time.time() - t0
+        values.append(total_audio / dt)
+        log(f"rep {rep + 1}/{REPS}: {total_audio:.1f} audio-sec in "
+            f"{dt:.3f}s ({values[-1]:.1f} audio-sec/s)")
+    value = sorted(values)[len(values) // 2]
+    print(json.dumps({
+        "metric": "full_utterance_throughput",
+        "value": round(value, 2),
+        "unit": "audio-sec/sec/chip",
+        "vs_baseline": round(value / TORCH_CPU_FULL_BASELINE, 2),
+    }))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--full", action="store_true",
+                    help="bucketed full-utterance workload (2-10 s)")
+    args = ap.parse_args()
+    if args.full:
+        run_full()
+    else:
+        run_fixed()
 
 
 if __name__ == "__main__":

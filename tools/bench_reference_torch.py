@@ -30,6 +30,9 @@ def main():
     ap.add_argument("--sample_rate", type=int, default=16000)
     ap.add_argument("--threads", type=int, default=0,
                     help="torch.set_num_threads (0 = torch default)")
+    ap.add_argument("--full", action="store_true",
+                    help="bench.py --full's bucketed full-utterance "
+                         "workload (same seeded 2-10 s lengths, B=8)")
     args = ap.parse_args()
 
     sys.path.insert(0, args.reference)
@@ -55,6 +58,48 @@ def main():
 
     model = LCTEnhancer(LCTGeneratorConfig())
     model.eval()
+
+    if args.full:
+        # Same utterance set + bucketing as bench.py --full; the reference
+        # has no lengths-aware path, so it just runs the padded batches
+        # (its infer.py pads batches the same way).
+        import numpy as np
+        sys.path.insert(0, "/root/repo")
+        from bench import FULL_BATCH, full_utterance_lengths
+        from lct_gan_tpu.data import bucket_length
+
+        rng = np.random.default_rng(11)
+        lens = full_utterance_lengths(sr=args.sample_rate)
+        batches = []
+        total_audio = 0.0
+        for i in range(0, len(lens), FULL_BATCH):
+            chunk = lens[i:i + FULL_BATCH]
+            pad_to = bucket_length(max(chunk))
+            x = np.zeros((len(chunk), pad_to), np.float32)
+            for j, L in enumerate(chunk):
+                x[j, :L] = 0.1 * rng.standard_normal(L)
+            batches.append(torch.from_numpy(x))
+            total_audio += sum(chunk) / args.sample_rate
+        with torch.no_grad():
+            model(batches[0])  # warmup
+            t0 = time.perf_counter()
+            for _ in range(args.iters):
+                for x in batches:
+                    out = model(x)
+            dt = time.perf_counter() - t0
+        _ = (out[0] if isinstance(out, tuple) else out).sum().item()
+        thr = args.iters * total_audio / dt
+        print(json.dumps({
+            "metric": "reference_torch_cpu_full_utterance_throughput",
+            "value": round(thr, 3),
+            "unit": "audio-sec/sec",
+            "iters": args.iters,
+            "audio_sec_per_iter": round(total_audio, 2),
+            "torch": torch.__version__,
+            "threads": torch.get_num_threads(),
+            "wall_sec": round(dt, 3),
+        }))
+        return
 
     T = int(args.seconds * args.sample_rate)
     torch.manual_seed(0)
