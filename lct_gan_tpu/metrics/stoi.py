@@ -134,7 +134,12 @@ def stoi(clean: np.ndarray, denoised: np.ndarray, fs: int,
             Xn /= (np.linalg.norm(Xn, axis=0, keepdims=True) + 1e-16)
             Yn = Yn - Yn.mean(axis=0, keepdims=True)
             Yn /= (np.linalg.norm(Yn, axis=0, keepdims=True) + 1e-16)
-            vals.append(np.sum(Xn * Yn) / NUMBAND)
+            # Per-segment intermediate intelligibility: after row+column
+            # normalization every column of Xn/Yn has unit norm, so the
+            # normalizer is the SEGMENT LENGTH N (identical signals ->
+            # N unit column dot-products / N = 1.0), not the band count
+            # (which scored identity at N/J = 2.0).
+            vals.append(np.sum(Xn * Yn) / N_SEG)
         return float(np.mean(vals))
 
     # STOI: clipped, normalized per-(band, segment) correlations.

@@ -62,7 +62,9 @@ def test_stoi_clean_is_near_one(extended):
     sr = 16000
     x = _speechlike(sr * 3, sr)
     val = stoi(x, x, sr, extended=extended)
-    assert val > 0.95
+    # Upper bound matters: the ESTOI normalizer bug (sum/J instead of
+    # sum/N) scored identity at 2.0 and still passed a one-sided check.
+    assert 0.95 < val <= 1.0 + 1e-9
 
 
 @pytest.mark.parametrize("extended", [False, True])
@@ -253,3 +255,31 @@ def test_pesq_estimate_and_pair_slots():
         m = compute_metrics_for_pair(cp, ep, sr)
         assert math.isnan(m["pesq_wb"])
         assert m["pesq_wb_est"] > 4.5
+
+
+def test_pesq_est_ladder_monotone_and_rank_agrees():
+    """Sub-ladder gate for docs/PESQ_EST_CHARACTERIZATION.md (the full
+    ladder lives in tools/pesq_ladder.py): the advisory estimator must
+    fall monotonically with white-noise SNR and rank-agree with SI-SDR
+    and ESTOI on that ladder."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "tools"))
+    from pesq_ladder import add_noise_snr, make_speechlike, spearman
+
+    from lct_gan_tpu.metrics import pesq_estimate
+
+    clean = make_speechlike(seconds=2.0, seed=0)
+    snrs = [30, 20, 10, 0]
+    est, sis, sto = [], [], []
+    for i, snr in enumerate(snrs):
+        deg = add_noise_snr(clean, "white", snr, seed=50 + i)
+        est.append(pesq_estimate(clean, deg, 16000, "wb"))
+        sis.append(float(si_sdr(clean, deg)))
+        sto.append(stoi(clean, deg, 16000, extended=True))
+    assert all(a > b for a, b in zip(est, est[1:])), est
+    assert spearman(np.array(est), np.array(sis)) == 1.0
+    assert spearman(np.array(est), np.array(sto)) == 1.0

@@ -30,7 +30,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from lct_gan_tpu.data import ScpDataset, batch_iterator, write_wav  # noqa: E402
 
 # Perf-ledger train-step time (tools/profile_train_step.py 64 --bf16).
-TRAIN_STEP_MS_B64 = 239.5
+TRAIN_STEP_MS_B64 = 235.4
 
 
 def make_tree(root: str, n: int, sr: int, seed: int = 0):
