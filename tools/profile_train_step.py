@@ -22,9 +22,12 @@ from lct_gan_tpu.utils import enable_compile_cache  # noqa: E402
 
 enable_compile_cache()
 
-batch = int(sys.argv[1]) if len(sys.argv) > 1 else 64
+batch = (int(sys.argv[1]) if len(sys.argv) > 1
+         and not sys.argv[1].startswith("-") else 64)
 bf16 = "--bf16" in sys.argv
-cfg = TrainConfig(batch_size=batch, bf16=bf16)
+use_sn = "--use_spectral_norm" in sys.argv
+remainder = "--remainder" in sys.argv
+cfg = TrainConfig(batch_size=batch, bf16=bf16, use_spectral_norm=use_sn)
 state = create_state(cfg, jax.random.PRNGKey(0))
 
 seg = cfg.segment_length
@@ -94,13 +97,96 @@ def d_fwd_bwd(d_params, real, fake):
 
 full = jax.jit(make_train_step(cfg))
 
-print(f"batch={batch} bf16={bf16} seg={seg}")
-t_gf = timeit("G forward (enhancer)", g_fwd, state.g_params, noisy)
-t_gb = timeit("G fwd+bwd (mrstft only)", g_fwd_bwd, state.g_params, noisy,
-              clean)
-t_df = timeit("D forward (mpd+msd, 1 wave)", d_fwd, (state.mpd_params, state.msd_params), clean)
-t_db = timeit("D fwd+bwd (2 waves)", d_fwd_bwd, (state.mpd_params, state.msd_params), clean, noisy)
-t_full = timeit("FULL train step", full, state, noisy, clean)
-print(f"\nG bwd-only est: {t_gb - t_gf:.1f} ms; "
-      f"full-step accounted: G~{t_gb:.0f} + D-step~{t_db:.0f} "
-      f"+ G-adv D fwds ~{3 * t_df:.0f} vs full {t_full:.0f}")
+print(f"batch={batch} bf16={bf16} use_spectral_norm={use_sn} seg={seg}")
+
+if remainder:
+    # --remainder: isolate the pieces of the full step that the four
+    # headline rows do NOT account for (G-adv D forwards with feature
+    # maps + adv/FM losses, the TF feature pipeline, the MR-STFT loss
+    # w.r.t. the waveform, and the two optimizer updates), so the
+    # "everything else" bucket has a published breakdown.
+    from lct_gan_tpu.losses import (  # noqa: E402
+        feature_matching_loss,
+        flatten_logits_lists,
+        generator_adv_loss,
+    )
+    from lct_gan_tpu.sigproc import (  # noqa: E402
+        TFFeaturesConfig,
+        compute_tf_features,
+    )
+    from lct_gan_tpu.train.state import make_optimizers  # noqa: E402
+
+    tf_cfg = TFFeaturesConfig(n_fft=512, c=cfg.compress_c,
+                              compress_input=False, return_stfts=False)
+
+    @jax.jit
+    def tf_feats(noisy, clean):
+        return compute_tf_features(noisy, clean, tf_cfg)["irm_c"]
+
+    @jax.jit
+    def mr_wave_bwd(enhanced, clean):
+        return jax.grad(lambda e: mr_stft_loss(e, clean, mr_cfg)[0])(enhanced)
+
+    @jax.jit
+    def gadv_fwd_bwd(d_params, enhanced, clean):
+        # The G-step adversarial piece exactly as train_step builds it
+        # (concat-batched 2B apply, adv + FM losses), differentiated
+        # w.r.t. the enhancer OUTPUT (the enhancer bwd itself is counted
+        # in the G fwd+bwd row).
+        def loss(e):
+            b = e.shape[0]
+            both = jnp.concatenate([e, clean], axis=0)
+            mpd_l, mpd_fm = mpd.apply({"params": d_params[0]}, both)
+            msd_l, msd_fm = msd.apply({"params": d_params[1]}, both)
+            adv = generator_adv_loss(
+                flatten_logits_lists([l[:b] for l in mpd_l],
+                                     [l[:b] for l in msd_l]))
+            fake_fm = ([[f[:b] for f in fs] for fs in mpd_fm]
+                       + [[f[:b] for f in fs] for fs in msd_fm])
+            real_fm = jax.lax.stop_gradient(
+                [[f[b:] for f in fs] for fs in mpd_fm]
+                + [[f[b:] for f in fs] for fs in msd_fm])
+            return adv + cfg.lambda_fm * feature_matching_loss(
+                real_fm, fake_fm)
+        return jax.grad(loss)(enhanced)
+
+    g_tx, d_tx = make_optimizers(cfg)
+
+    @jax.jit
+    def opt_updates(state, g_grads, d_grads):
+        g_up, g_os = g_tx.update(g_grads, state.g_opt_state, state.g_params)
+        d_params = {"mpd": state.mpd_params, "msd": state.msd_params}
+        d_up, d_os = d_tx.update(d_grads, state.d_opt_state, d_params)
+        new_g = jax.tree.map(lambda p, u: p + u, state.g_params, g_up)
+        new_d = jax.tree.map(lambda p, u: p + u, d_params, d_up)
+        return new_g, new_d, g_os, d_os
+
+    g_grads = jax.tree.map(lambda p: jnp.ones_like(p) * 1e-4, state.g_params)
+    d_grads = {"mpd": jax.tree.map(lambda p: jnp.ones_like(p) * 1e-4,
+                                   state.mpd_params),
+               "msd": jax.tree.map(lambda p: jnp.ones_like(p) * 1e-4,
+                                   state.msd_params)}
+    timeit("tf features (irm_c)", tf_feats, noisy, clean)
+    timeit("MR-STFT fwd+bwd wrt wave", mr_wave_bwd, clean, noisy)
+    timeit("G-adv D fwd+FM, bwd wrt wave", gadv_fwd_bwd,
+           (state.mpd_params, state.msd_params), noisy, clean)
+    timeit("optimizer updates (G+D AdamW)", opt_updates, state, g_grads,
+           d_grads)
+if use_sn:
+    # The piecewise D helpers don't thread the spectral (u/v) collection;
+    # the headline question for SN is the full-step cost of the
+    # power-iteration-order-preserving 4-apply sequential form vs the
+    # default concat-batched path (train/step.py).
+    timeit("FULL train step (spectral norm)", full, state, noisy, clean)
+else:
+    t_gf = timeit("G forward (enhancer)", g_fwd, state.g_params, noisy)
+    t_gb = timeit("G fwd+bwd (mrstft only)", g_fwd_bwd, state.g_params,
+                  noisy, clean)
+    t_df = timeit("D forward (mpd+msd, 1 wave)", d_fwd,
+                  (state.mpd_params, state.msd_params), clean)
+    t_db = timeit("D fwd+bwd (2 waves)", d_fwd_bwd,
+                  (state.mpd_params, state.msd_params), clean, noisy)
+    t_full = timeit("FULL train step", full, state, noisy, clean)
+    print(f"\nG bwd-only est: {t_gb - t_gf:.1f} ms; "
+          f"full-step accounted: G~{t_gb:.0f} + D-step~{t_db:.0f} "
+          f"+ G-adv D fwds ~{3 * t_df:.0f} vs full {t_full:.0f}")
