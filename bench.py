@@ -15,11 +15,11 @@ the JSON line is the only stdout output.
 
 `--full` switches to the full-utterance workload validation/inference
 actually run (VERDICT r3 weak #2): 64 utterances drawn from a seeded
-2-10 s length distribution, batched in scp order at B=8 and padded to
-geometric buckets with true `lengths` (exactly infer.py's bucketed path).
-Throughput counts TRUE audio seconds, not padding. Baseline for --full:
-reference torch-CPU at the same utterance set, 2.12 audio-sec/s
-(`python tools/bench_reference_torch.py --full`).
+2-10 s length distribution, length-sorted and batched at B=32, padded to
+geometric buckets with true `lengths` (exactly infer.py's default
+bucketed path). Throughput counts TRUE audio seconds, not padding.
+Baseline for --full: reference torch-CPU at the same utterance set and
+batching (`python tools/bench_reference_torch.py --full`).
 """
 
 import argparse
@@ -30,9 +30,10 @@ import time
 # Reference torch-CPU throughput at this benchmark's exact workload
 # (B=128 x 2 s), measured 2026-08-16 by tools/bench_reference_torch.py.
 TORCH_CPU_BASELINE_AUDIO_SEC_PER_SEC = 11.68
-# torch-CPU at the --full workload (same seeded lengths, B=8 bucketed),
-# measured 2026-08-18 by tools/bench_reference_torch.py --full.
-TORCH_CPU_FULL_BASELINE = 2.12
+# torch-CPU at the --full workload (same seeded lengths, length-sorted
+# B=32 bucketed -- sorting sped torch up too, 2.12 -> 3.26), measured
+# 2026-08-18 by tools/bench_reference_torch.py --full --iters 2.
+TORCH_CPU_FULL_BASELINE = 3.26
 
 BATCH = 128
 SECONDS = 2.0
@@ -42,7 +43,7 @@ ITERS = 10
 REPS = 3  # median-of-REPS timing loops: reproducible headline number
 
 FULL_N_UTTS = 64
-FULL_BATCH = 8
+FULL_BATCH = 32  # mirrors infer.py's default --batch_size
 
 
 def log(msg):
@@ -56,6 +57,16 @@ def full_utterance_lengths(n=FULL_N_UTTS, sr=SR, seed=7):
     rng = np.random.default_rng(seed)
     secs = np.clip(rng.gamma(4.0, 1.1, size=n), 1.5, 10.0)
     return [int(s * sr) for s in secs]
+
+
+def full_batch_chunks(lens, batch=None):
+    """Length-sorted B-sized chunks: exactly infer.py's default
+    sort_by_length bucketed batching (near-uniform lengths per batch ->
+    minimal padding). Shared with tools/bench_reference_torch.py so the
+    torch baseline runs the identical workload."""
+    s = sorted(lens)
+    b = batch or FULL_BATCH
+    return [s[i:i + b] for i in range(0, len(s), b)]
 
 
 def _setup():
@@ -136,8 +147,7 @@ def run_full():
     lens = full_utterance_lengths()
     batches = []
     total_audio = 0.0
-    for i in range(0, len(lens), FULL_BATCH):
-        chunk = lens[i:i + FULL_BATCH]
+    for chunk in full_batch_chunks(lens):
         pad_to = bucket_length(max(chunk))
         x = np.zeros((len(chunk), pad_to), np.float32)
         for j, L in enumerate(chunk):

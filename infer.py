@@ -23,7 +23,15 @@ def parse_args():
                         help="Orbax checkpoint dir (ckpts/best) or a "
                              "reference PyTorch .pt file.")
     parser.add_argument("--output_dir", type=str, default="enhanced_test")
-    parser.add_argument("--batch_size", type=int, default=8)
+    parser.add_argument("--batch_size", type=int, default=32,
+                        help="Bucketed-batch size. Offline throughput "
+                             "scales strongly with batch (device "
+                             "utilization); 32 fits 10 s buckets on a "
+                             "16 GB chip with headroom.")
+    parser.add_argument("--no_sort_by_length", action="store_true",
+                        help="Keep scp order for batching instead of "
+                             "length-sorted bucketing (outputs are "
+                             "identical either way; sorted is faster).")
     parser.add_argument("--num_workers", type=int, default=4)
     parser.add_argument("--compress_c", type=float, default=None,
                         help="Mask compression exponent. Default: the "
@@ -149,6 +157,8 @@ def main():
     batch_size = 1 if args.exact_lengths else args.batch_size
     it = Prefetcher(
         batch_iterator(ds, batch_size, bucket=not args.exact_lengths,
+                       sort_by_length=(not args.exact_lengths
+                                       and not args.no_sort_by_length),
                        num_workers=args.num_workers),
         depth=max(2, args.num_workers))
     for batch in it:

@@ -23,7 +23,8 @@ from typing import Optional, Tuple
 
 import numpy as np
 
-__all__ = ["read_wav", "write_wav", "resample", "load_mono_wave"]
+__all__ = ["read_wav", "wav_num_samples", "write_wav", "resample",
+           "load_mono_wave"]
 
 _RIFF = b"RIFF"
 _WAVE = b"WAVE"
@@ -107,6 +108,51 @@ def read_wav(path: str) -> Tuple[np.ndarray, int]:
 
     n_frames = len(x) // channels
     return x[:n_frames * channels].reshape(n_frames, channels).T, sample_rate
+
+
+def wav_num_samples(path: str,
+                    target_sr: Optional[int] = None) -> Tuple[int, int]:
+    """Header-only length probe: (n_frames, sample_rate) without reading
+    the data payload. With target_sr, n_frames is scaled to the
+    post-resample frame count (scipy resample_poly's ceil semantics).
+
+    Used by batch_iterator's sort_by_length mode: length-sorted bucketed
+    batches pad each batch to near-uniform lengths instead of the max of
+    an arbitrary scp-order slice (the reference has no equivalent; its
+    DataLoader batches in sampler order, datasets/datasets.py:187-230).
+    """
+    with open(path, "rb") as f:
+        header = f.read(12)
+        if len(header) < 12 or header[:4] != _RIFF or header[8:12] != _WAVE:
+            raise ValueError(f"Not a RIFF/WAVE file: {path}")
+        channels = sample_rate = bits = data_size = None
+        while True:
+            chunk_hdr = f.read(8)
+            if len(chunk_hdr) < 8:
+                break
+            cid, csize = struct.unpack("<4sI", chunk_hdr)
+            if cid == _FMT:
+                fmt = f.read(csize)
+                (_fmt_code, channels, sample_rate, _br, _ba,
+                 bits) = struct.unpack("<HHIIHH", fmt[:16])
+                if csize & 1:
+                    f.seek(1, os.SEEK_CUR)
+            elif cid == _DATA:
+                data_size = csize
+                if channels is not None:
+                    break  # fmt already seen; no need to touch the payload
+                f.seek(csize + (csize & 1), os.SEEK_CUR)
+            else:
+                f.seek(csize + (csize & 1), os.SEEK_CUR)
+    if channels is None or data_size is None:
+        raise ValueError(f"Missing fmt/data chunk in wav: {path}")
+    n = data_size // ((bits // 8) * channels)
+    if target_sr is not None and target_sr != sample_rate:
+        g = math.gcd(int(target_sr), int(sample_rate))
+        up, down = target_sr // g, sample_rate // g
+        n = -(-(n * up) // down)  # ceil, matching resample_poly
+        return n, target_sr
+    return n, sample_rate
 
 
 def write_wav(path: str, samples: np.ndarray, sample_rate: int,

@@ -15,7 +15,7 @@ from typing import Callable, Dict, List, Optional
 
 import numpy as np
 
-from lct_gan_tpu.data.audio_io import load_mono_wave
+from lct_gan_tpu.data.audio_io import load_mono_wave, wav_num_samples
 
 __all__ = ["read_scp", "ScpDataset", "collate"]
 
@@ -84,6 +84,14 @@ class ScpDataset:
     def set_epoch(self, epoch: int) -> None:
         """Advance the deterministic crop key (resume-stable data order)."""
         self.epoch = int(epoch)
+
+    def num_samples(self, index: int) -> int:
+        """Post-resample length of the noisy wave, from the wav header
+        alone (no payload decode). Drives batch_iterator's
+        sort_by_length bucketing."""
+        path = os.path.join(self.noisy_dir, f"{self.utt_ids[index]}.wav")
+        n, _ = wav_num_samples(path, self.sample_rate)
+        return n
 
     def _crop_pair(self, noisy: np.ndarray, clean: np.ndarray, index: int):
         """Shared-start crop (reference: datasets/datasets.py:131-156)."""

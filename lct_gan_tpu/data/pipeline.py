@@ -56,6 +56,7 @@ def batch_iterator(
     drop_last: bool = False,
     pad_to_segment: bool = False,
     bucket: bool = False,
+    sort_by_length: bool = False,
     seed: int = 0,
     epoch: int = 0,
     num_workers: int = 0,
@@ -66,6 +67,13 @@ def batch_iterator(
     pad_to_segment: pad every batch to dataset.segment_length (fixed-shape
       training batches).
     bucket: pad full utterances to geometric length buckets (val/infer).
+    sort_by_length: order utterances by header-probed post-resample length
+      (stable sort) so each bucketed batch is near-uniform in length --
+      padding waste and the pad-to-max bucket both shrink, which is a
+      large device-utilization win for full-utterance val/infer. Ignored
+      under shuffle. Batch CONTENTS are unchanged per utterance (crops
+      are keyed on (seed, epoch, index)); only grouping/order changes,
+      and every consumer keys results by utterance id.
     num_workers: > 0 decodes samples on a thread pool (the wav parse is
       numpy and the native decoder is a GIL-releasing ctypes call), with
       `lookahead` batches of decode futures submitted ahead of the
@@ -80,6 +88,9 @@ def batch_iterator(
     if shuffle:
         rng = np.random.default_rng(np.random.SeedSequence([seed, epoch]))
         rng.shuffle(order)
+    elif sort_by_length and hasattr(dataset, "num_samples"):
+        lens = np.asarray([dataset.num_samples(int(i)) for i in order])
+        order = order[np.argsort(lens, kind="stable")]
     n = len(order)
     end = n - (n % batch_size) if drop_last else n
 

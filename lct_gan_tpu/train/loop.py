@@ -117,7 +117,12 @@ def validate(eval_step, g_params, val_ds: ScpDataset, cfg: TrainConfig,
 
     def run(pool):
         nonlocal total_mr, total_si, count
+        # Length-sorted bucketing: near-uniform batch lengths cut padding
+        # waste and pad-to-max buckets. Per-utterance metrics are
+        # unchanged (lengths-masked, averaged over utterances), so the
+        # val mean is order-invariant.
         for batch in batch_iterator(val_ds, batch_size, bucket=True,
+                                    sort_by_length=True,
                                     num_workers=num_workers):
             b = batch["noisy"].shape[0]
             padded = _pad_batch_to(batch, batch_size)

@@ -109,6 +109,50 @@ def test_batch_iterator_fixed_shape(tmp_path):
         assert b["noisy"].shape == (2, 8000)
 
 
+def test_wav_num_samples_header_probe(tmp_path):
+    from lct_gan_tpu.data.audio_io import wav_num_samples
+
+    sr = 48000
+    x = (np.random.default_rng(0).standard_normal(48123) * 0.1
+         ).astype(np.float32)
+    p = str(tmp_path / "a.wav")
+    write_wav(p, x, sr)
+    n, got_sr = wav_num_samples(p)
+    assert (n, got_sr) == (48123, sr)
+    # Post-resample frame count matches the actual decode+resample length.
+    n16, sr16 = wav_num_samples(p, target_sr=16000)
+    y, _ = load_mono_wave(p, 16000)
+    assert (n16, sr16) == (y.shape[-1], 16000)
+
+
+def test_batch_iterator_sort_by_length(tmp_path):
+    root = str(tmp_path)
+    ids, lengths = _make_dataset_tree(root)  # lengths strictly increasing
+    ds = ScpDataset(root, "train.scp", "train", sample_rate=16000,
+                    segment_length=None)
+    # Reverse the scp order so scp-order batching differs from sorted.
+    with open(os.path.join(root, "train.scp"), "w") as f:
+        for uid in reversed(ids):
+            f.write(uid + "\n")
+    ds = ScpDataset(root, "train.scp", "train", sample_rate=16000,
+                    segment_length=None)
+    assert [ds.num_samples(i) for i in range(len(ds))] == lengths[::-1]
+    batches = list(batch_iterator(ds, 2, bucket=True, sort_by_length=True))
+    seen = [uid for b in batches for uid in b["id"]]
+    assert sorted(seen) == sorted(ids)  # every utterance exactly once
+    assert seen == ids  # ascending length order despite reversed scp
+    flat_lens = [int(x) for b in batches for x in b["lengths"]]
+    assert flat_lens == sorted(flat_lens)
+    # Per-utterance contents identical to an unsorted run (keyed by id).
+    ref = {uid: b["noisy"][i, :int(b["lengths"][i])]
+           for b in batch_iterator(ds, 2, bucket=True)
+           for i, uid in enumerate(b["id"])}
+    for b in batches:
+        for i, uid in enumerate(b["id"]):
+            np.testing.assert_array_equal(
+                b["noisy"][i, :int(b["lengths"][i])], ref[uid])
+
+
 def test_crops_are_resume_stable(tmp_path):
     """Segment crops are keyed on (seed, epoch, index): re-iterating an
     epoch after 'resume' (a fresh dataset object) reproduces the exact

@@ -65,15 +65,14 @@ def main():
         # (its infer.py pads batches the same way).
         import numpy as np
         sys.path.insert(0, "/root/repo")
-        from bench import FULL_BATCH, full_utterance_lengths
+        from bench import full_batch_chunks, full_utterance_lengths
         from lct_gan_tpu.data import bucket_length
 
         rng = np.random.default_rng(11)
         lens = full_utterance_lengths(sr=args.sample_rate)
         batches = []
         total_audio = 0.0
-        for i in range(0, len(lens), FULL_BATCH):
-            chunk = lens[i:i + FULL_BATCH]
+        for chunk in full_batch_chunks(lens):
             pad_to = bucket_length(max(chunk))
             x = np.zeros((len(chunk), pad_to), np.float32)
             for j, L in enumerate(chunk):
