@@ -14,12 +14,14 @@ vs_baseline is our TPU throughput over that number. Details go to stderr;
 the JSON line is the only stdout output.
 
 `--full` switches to the full-utterance workload validation/inference
-actually run (VERDICT r3 weak #2): 64 utterances drawn from a seeded
-2-10 s length distribution, length-sorted and batched at B=32, padded to
-geometric buckets with true `lengths` (exactly infer.py's default
-bucketed path). Throughput counts TRUE audio seconds, not padding.
-Baseline for --full: reference torch-CPU at the same utterance set and
-batching (`python tools/bench_reference_torch.py --full`).
+actually run (VERDICT r3 weak #2): 256 utterances drawn from a seeded
+2-10 s length distribution, length-sorted and batched ADAPTIVELY
+(constant padded batch size: B=128 for 2 s buckets down to B=25 for
+10 s buckets), padded to geometric buckets with true `lengths` (exactly
+infer.py's default bucketed path). Throughput counts TRUE audio seconds,
+not padding. Baseline for --full: reference torch-CPU at the same
+utterance set and batching (`python tools/bench_reference_torch.py
+--full`).
 """
 
 import argparse
@@ -30,10 +32,12 @@ import time
 # Reference torch-CPU throughput at this benchmark's exact workload
 # (B=128 x 2 s), measured 2026-08-16 by tools/bench_reference_torch.py.
 TORCH_CPU_BASELINE_AUDIO_SEC_PER_SEC = 11.68
-# torch-CPU at the --full workload (same seeded lengths, length-sorted
-# B=32 bucketed -- sorting sped torch up too, 2.12 -> 3.26), measured
-# 2026-08-18 by tools/bench_reference_torch.py --full --iters 2.
-TORCH_CPU_FULL_BASELINE = 3.26
+# torch-CPU at the --full workload (same seeded 256-utterance set,
+# length-sorted ADAPTIVE bucketed batching -- each batching improvement
+# sped torch up too: scp-order 2.12 -> sorted B=32 3.26 -> adaptive
+# 8.08, since less padding is less torch compute), measured 2026-08-18
+# by tools/bench_reference_torch.py --full --iters 1.
+TORCH_CPU_FULL_BASELINE = 8.08
 
 BATCH = 128
 SECONDS = 2.0
@@ -42,8 +46,17 @@ WARMUP = 3
 ITERS = 10
 REPS = 3  # median-of-REPS timing loops: reproducible headline number
 
-FULL_N_UTTS = 64
-FULL_BATCH = 32  # mirrors infer.py's default --batch_size
+# 256 utterances: enough that each length bucket's run can fill its
+# adaptive row count (a real test set is this shape -- VoiceBank's is
+# 824 utts); at 64 utts every bucket fragmented into tiny batches and
+# the number measured scheduling, not the pipeline.
+FULL_N_UTTS = 256
+# Adaptive bucketed batching (mirrors infer.py's default): each batch's
+# row count is target_samples // bucket, capped at FULL_MAX_BATCH, so a
+# 2 s bucket runs at B=128 (full chip) and a 10 s bucket at B=25 (same
+# memory footprint). 128 x 32000 = the headline workload's padded size.
+FULL_TARGET_SAMPLES = 128 * 32000
+FULL_MAX_BATCH = 128
 
 
 def log(msg):
@@ -60,13 +73,18 @@ def full_utterance_lengths(n=FULL_N_UTTS, sr=SR, seed=7):
 
 
 def full_batch_chunks(lens, batch=None):
-    """Length-sorted B-sized chunks: exactly infer.py's default
-    sort_by_length bucketed batching (near-uniform lengths per batch ->
-    minimal padding). Shared with tools/bench_reference_torch.py so the
-    torch baseline runs the identical workload."""
+    """Length-sorted, length-ADAPTIVE chunks: exactly infer.py's default
+    bucketed batching (data/pipeline.py adaptive_slices -- per-bucket row
+    counts targeting a ~constant padded batch size, so short utterances
+    run at large B). Shared with tools/bench_reference_torch.py so the
+    torch baseline runs the identical workload. `batch` overrides the
+    row cap."""
+    from lct_gan_tpu.data import adaptive_slices
+
     s = sorted(lens)
-    b = batch or FULL_BATCH
-    return [s[i:i + b] for i in range(0, len(s), b)]
+    cap = batch or FULL_MAX_BATCH
+    return [s[i:j] for i, j in
+            adaptive_slices(s, FULL_TARGET_SAMPLES, cap)]
 
 
 def _setup():

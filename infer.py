@@ -23,15 +23,26 @@ def parse_args():
                         help="Orbax checkpoint dir (ckpts/best) or a "
                              "reference PyTorch .pt file.")
     parser.add_argument("--output_dir", type=str, default="enhanced_test")
-    parser.add_argument("--batch_size", type=int, default=32,
-                        help="Bucketed-batch size. Offline throughput "
-                             "scales strongly with batch (device "
-                             "utilization); 32 fits 10 s buckets on a "
-                             "16 GB chip with headroom.")
+    parser.add_argument("--batch_size", type=int, default=128,
+                        help="Bucketed-batch row CAP. With length-sorted "
+                             "bucketing (the default) batches are sized "
+                             "ADAPTIVELY per length bucket -- "
+                             "target_batch_seconds of padded audio per "
+                             "batch, at most this many rows -- so short "
+                             "utterances run at large B (device "
+                             "utilization) and long ones at small B "
+                             "(memory). With --no_sort_by_length this is "
+                             "the fixed batch size.")
+    parser.add_argument("--target_batch_seconds", type=float, default=256.0,
+                        help="Padded audio-seconds per adaptive batch "
+                             "(256 = the 128 x 2 s shape known to fill a "
+                             "v5e chip with memory headroom). Only used "
+                             "with length-sorted bucketing.")
     parser.add_argument("--no_sort_by_length", action="store_true",
-                        help="Keep scp order for batching instead of "
-                             "length-sorted bucketing (outputs are "
-                             "identical either way; sorted is faster).")
+                        help="Keep scp order with fixed batch_size "
+                             "instead of length-sorted adaptive "
+                             "bucketing (outputs are identical either "
+                             "way; sorted+adaptive is faster).")
     parser.add_argument("--num_workers", type=int, default=4)
     parser.add_argument("--compress_c", type=float, default=None,
                         help="Mask compression exponent. Default: the "
@@ -155,10 +166,13 @@ def main():
     # --exact_lengths: batches of one, padded only to the batch "max"
     # (= the utterance itself) -> exact shapes, no attention-over-padding.
     batch_size = 1 if args.exact_lengths else args.batch_size
+    sort_by_length = not args.exact_lengths and not args.no_sort_by_length
+    adaptive = (int(args.target_batch_seconds * args.sample_rate)
+                if sort_by_length else None)
     it = Prefetcher(
         batch_iterator(ds, batch_size, bucket=not args.exact_lengths,
-                       sort_by_length=(not args.exact_lengths
-                                       and not args.no_sort_by_length),
+                       sort_by_length=sort_by_length,
+                       adaptive_target_samples=adaptive,
                        num_workers=args.num_workers),
         depth=max(2, args.num_workers))
     for batch in it:

@@ -5,7 +5,12 @@ from lct_gan_tpu.data.audio_io import (
     load_mono_wave,
 )
 from lct_gan_tpu.data.dataset import ScpDataset, collate, read_scp
-from lct_gan_tpu.data.pipeline import Prefetcher, batch_iterator, bucket_length
+from lct_gan_tpu.data.pipeline import (
+    Prefetcher,
+    adaptive_slices,
+    batch_iterator,
+    bucket_length,
+)
 
 __all__ = [
     "read_wav",
@@ -18,4 +23,5 @@ __all__ = [
     "Prefetcher",
     "batch_iterator",
     "bucket_length",
+    "adaptive_slices",
 ]

@@ -26,7 +26,9 @@ import numpy as np
 
 from lct_gan_tpu.data.dataset import ScpDataset, collate
 
-__all__ = ["batch_iterator", "Prefetcher", "bucket_length"]
+__all__ = [
+    "batch_iterator", "Prefetcher", "bucket_length", "adaptive_slices",
+]
 
 
 def bucket_length(n: int, min_bucket: int = 16384) -> int:
@@ -48,6 +50,49 @@ def bucket_length(n: int, min_bucket: int = 16384) -> int:
     return b
 
 
+def adaptive_slices(sorted_lens: Sequence[int], target_samples: int,
+                    max_batch: int):
+    """Length-adaptive batch slices over LENGTH-SORTED utterances.
+
+    Device utilization is strongly batch-bound (measured v5e-1: a 2 M-
+    sample padded batch sustains ~42 M samples/s, a 4 M one ~105 M/s --
+    the per-step GEMMs are latency-bound until the chip fills), so a
+    fixed row count leaves most of the machine idle on short utterances.
+    Each batch's row count is  B_b = clamp(target_samples // bucket, 1,
+    max_batch)  for its geometric length bucket, holding the PADDED batch
+    size ~constant at the target: short buckets run at large B, long ones
+    at small B (bounded memory).
+
+    A batch NEVER spans buckets. Padding rows in B costs linear FLOPs,
+    but padding an utterance's time axis into a longer bucket costs
+    QUADRATIC attention FLOPs -- cross-bucket coalescing was implemented
+    and measured 18% SLOWER than bucket-pure batches on the 2-10 s
+    workload (v5e-1, 2026-08-18) even though it filled batches better;
+    do not retry. The boundary cut also keeps per-utterance pad lengths
+    grouping-independent (outputs move only within the bf16 noise band).
+
+    B_b is a deterministic function of the bucket, so compiled (B, T)
+    shapes stay bounded at <= 2 per occupied bucket (full B_b plus at
+    most one run-remainder).
+
+    Returns a list of (start, end) index pairs covering range(len(lens))
+    exactly once, in order.
+    """
+    n = len(sorted_lens)
+    slices = []
+    i = 0
+    while i < n:
+        b = bucket_length(int(sorted_lens[i]))
+        size = max(1, min(int(max_batch), target_samples // b))
+        j = i + 1
+        while (j < min(i + size, n)
+               and bucket_length(int(sorted_lens[j])) == b):
+            j += 1
+        slices.append((i, j))
+        i = j
+    return slices
+
+
 def batch_iterator(
     dataset: ScpDataset,
     batch_size: int,
@@ -57,6 +102,7 @@ def batch_iterator(
     pad_to_segment: bool = False,
     bucket: bool = False,
     sort_by_length: bool = False,
+    adaptive_target_samples: Optional[int] = None,
     seed: int = 0,
     epoch: int = 0,
     num_workers: int = 0,
@@ -74,6 +120,12 @@ def batch_iterator(
       under shuffle. Batch CONTENTS are unchanged per utterance (crops
       are keyed on (seed, epoch, index)); only grouping/order changes,
       and every consumer keys results by utterance id.
+    adaptive_target_samples: with bucket+sort_by_length, size each batch
+      by its length bucket (see adaptive_slices) with `batch_size` as the
+      row-count CAP -- short buckets run at large B (utilization), long
+      buckets at small B (memory), padded batch size ~constant at the
+      target. Per-utterance outputs are invariant to batch grouping
+      (verified on TPU within the bf16 kernel noise band, CLAUDE.md).
     num_workers: > 0 decodes samples on a thread pool (the wav parse is
       numpy and the native decoder is a GIL-releasing ctypes call), with
       `lookahead` batches of decode futures submitted ahead of the
@@ -85,12 +137,15 @@ def batch_iterator(
     if hasattr(dataset, "set_epoch"):
         dataset.set_epoch(epoch)  # resume-stable segment crops
     order = np.arange(len(dataset))
+    sorted_lens = None
     if shuffle:
         rng = np.random.default_rng(np.random.SeedSequence([seed, epoch]))
         rng.shuffle(order)
     elif sort_by_length and hasattr(dataset, "num_samples"):
         lens = np.asarray([dataset.num_samples(int(i)) for i in order])
-        order = order[np.argsort(lens, kind="stable")]
+        sort = np.argsort(lens, kind="stable")
+        order = order[sort]
+        sorted_lens = lens[sort]
     n = len(order)
     end = n - (n % batch_size) if drop_last else n
 
@@ -105,35 +160,40 @@ def batch_iterator(
             pad_to = bucket_length(mx)
         return collate(samples, pad_to=pad_to)
 
-    starts = range(0, end, batch_size)
+    if adaptive_target_samples and bucket and sorted_lens is not None:
+        slices = adaptive_slices(sorted_lens, int(adaptive_target_samples),
+                                 batch_size)
+    else:
+        slices = [(i, min(i + batch_size, end))
+                  for i in range(0, end, batch_size)]
     if num_workers and num_workers > 0:
         ex = ThreadPoolExecutor(max_workers=int(num_workers),
                                 thread_name_prefix="lct-decode")
         try:
             from collections import deque
             pending: "deque" = deque()
-            it = iter(starts)
+            it = iter(slices)
             exhausted = False
             while True:
                 while not exhausted and len(pending) < max(1, lookahead):
                     try:
-                        i = next(it)
+                        i, j = next(it)
                     except StopIteration:
                         exhausted = True
                         break
-                    idx = order[i:i + batch_size]
+                    idx = order[i:j]
                     pending.append(
-                        [ex.submit(dataset.__getitem__, int(j))
-                         for j in idx])
+                        [ex.submit(dataset.__getitem__, int(k))
+                         for k in idx])
                 if not pending:
                     break
                 yield _collate([f.result() for f in pending.popleft()])
         finally:
             ex.shutdown(wait=False, cancel_futures=True)
     else:
-        for i in starts:
-            idx = order[i:i + batch_size]
-            yield _collate([dataset[int(j)] for j in idx])
+        for i, j in slices:
+            idx = order[i:j]
+            yield _collate([dataset[int(k)] for k in idx])
 
 
 class Prefetcher:

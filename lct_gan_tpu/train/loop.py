@@ -97,7 +97,9 @@ def _score_utterance(ref: np.ndarray, est: np.ndarray, sample_rate: int,
 
 def validate(eval_step, g_params, val_ds: ScpDataset, cfg: TrainConfig,
              batch_size: int, compute_pesq: bool = True,
-             compute_stoi: bool = True, num_workers: int = 4
+             compute_stoi: bool = True, num_workers: int = 4,
+             adaptive_target_seconds: Optional[float] = None,
+             max_batch: int = 128, batch_multiple: int = 1
              ) -> Dict[str, float]:
     """Full-utterance validation (reference: train.py:285-385).
 
@@ -107,9 +109,21 @@ def validate(eval_step, g_params, val_ds: ScpDataset, cfg: TrainConfig,
     idling the accelerator for the whole host pass. Results are
     accumulated in submission order, so they are bit-identical to the
     serial loop.
+
+    adaptive_target_seconds: size each batch by its length bucket
+    (data/pipeline.py adaptive_slices; rows <= max_batch) instead of a
+    fixed batch_size, holding the padded batch ~constant at the target --
+    short buckets then fill the chip. Tail batches pad rows up to the
+    bucket's full row count so compiled shapes stay at one per bucket.
+    Metrics are per-utterance and masked, so results don't change.
+    batch_multiple: round adaptive row counts UP to this multiple (the
+    mesh's data-axis size -- a sharded eval_step needs its batch axis
+    divisible by the shard count).
     """
     from concurrent.futures import ThreadPoolExecutor
 
+    adaptive = (int(adaptive_target_seconds * cfg.sample_rate)
+                if adaptive_target_seconds else None)
     total_mr = 0.0
     total_si = 0.0
     count = 0
@@ -121,11 +135,25 @@ def validate(eval_step, g_params, val_ds: ScpDataset, cfg: TrainConfig,
         # waste and pad-to-max buckets. Per-utterance metrics are
         # unchanged (lengths-masked, averaged over utterances), so the
         # val mean is order-invariant.
-        for batch in batch_iterator(val_ds, batch_size, bucket=True,
-                                    sort_by_length=True,
+        for batch in batch_iterator(val_ds,
+                                    max_batch if adaptive else batch_size,
+                                    bucket=True, sort_by_length=True,
+                                    adaptive_target_samples=adaptive,
                                     num_workers=num_workers):
             b = batch["noisy"].shape[0]
-            padded = _pad_batch_to(batch, batch_size)
+            if adaptive:
+                # Rows for THIS bucket (recomputed from the collated
+                # width, so shape count stays 1/bucket even if the header
+                # probe disagreed with the decoded length); never below
+                # the actual row count, never above the val-set size
+                # (tiny val sets must not pad 2 rows up to 128).
+                bucket = batch["noisy"].shape[1]
+                rows = max(b, min(max_batch, adaptive // bucket,
+                                  len(val_ds)))
+                rows = -(-rows // batch_multiple) * batch_multiple
+            else:
+                rows = batch_size
+            padded = _pad_batch_to(batch, rows)
             lengths = np.asarray(padded["lengths"])
             enhanced, m = eval_step(g_params, padded["noisy"],
                                     padded["clean"], lengths)
@@ -299,11 +327,14 @@ def run_training(cfg: TrainConfig,
         val_metrics: Dict[str, float] = {}
         improved = False
         if do_val:
-            val_metrics = validate(eval_step, state.g_params, val_ds, cfg,
-                                   cfg.batch_size,
-                                   compute_pesq=compute_pesq,
-                                   compute_stoi=compute_stoi,
-                                   num_workers=data.num_workers)
+            val_metrics = validate(
+                eval_step, state.g_params, val_ds, cfg, cfg.batch_size,
+                compute_pesq=compute_pesq, compute_stoi=compute_stoi,
+                num_workers=data.num_workers,
+                adaptive_target_seconds=(cfg.val_target_batch_seconds
+                                         or None),
+                batch_multiple=(mesh.shape.get("data", 1)
+                                if mesh is not None else 1))
             msg = (f"[Epoch {epoch:03d}] Val MR-STFT="
                    f"{val_metrics['val_mrstft']:.4f} | "
                    f"SI-SDR={val_metrics['val_si_sdr']:.3f}")

@@ -58,6 +58,13 @@ class TrainConfig:
     log_interval: int = 50
     val_interval: int = 50
     ckpt_interval: int = 50
+    # Padded audio-seconds per ADAPTIVE validation batch (0 disables:
+    # fixed batch_size rows). Full-utterance val batches are sized per
+    # length bucket -- target // bucket rows, <= 128 -- so short buckets
+    # fill the chip instead of running at the small train batch size.
+    # Per-utterance metrics are lengths-masked and averaged over valid
+    # rows, so the val numbers are invariant to this (tests pin it).
+    val_target_batch_seconds: float = 256.0
 
     @property
     def segment_length(self) -> int:

@@ -9,6 +9,7 @@ import pytest
 from lct_gan_tpu.data import (
     Prefetcher,
     ScpDataset,
+    adaptive_slices,
     batch_iterator,
     bucket_length,
     collate,
@@ -151,6 +152,75 @@ def test_batch_iterator_sort_by_length(tmp_path):
         for i, uid in enumerate(b["id"]):
             np.testing.assert_array_equal(
                 b["noisy"][i, :int(b["lengths"][i])], ref[uid])
+
+
+def test_adaptive_slices_properties():
+    """Length-adaptive batch slices: exact cover, bucket-homogeneous
+    batches (padding L is quadratic-attention cost; padding B is linear
+    -- a batch must never stretch an utterance into a longer bucket),
+    memory bound, bounded compiled-shape count."""
+    rng = np.random.default_rng(3)
+    lens = sorted(int(s * 16000)
+                  for s in np.clip(rng.gamma(4.0, 1.1, size=200), 1.5, 10.0))
+    target, cap = 128 * 32000, 128
+    slices = adaptive_slices(lens, target, cap)
+    # Exact, in-order cover of range(len(lens)).
+    flat = [k for i, j in slices for k in range(i, j)]
+    assert flat == list(range(len(lens)))
+    per_bucket_sizes = {}
+    for i, j in slices:
+        bks = {bucket_length(n) for n in lens[i:j]}
+        assert len(bks) == 1  # a batch never spans buckets
+        b = bks.pop()
+        size = j - i
+        assert size <= cap
+        # Padded batch fits the target (single-row batches may exceed).
+        assert size * b <= target or size == 1
+    # <= 2 distinct row counts per bucket (full B_b + one run remainder):
+    # bounds the number of distinct compiled (B, T) shapes.
+        per_bucket_sizes.setdefault(b, set()).add(size)
+    for b, sizes in per_bucket_sizes.items():
+        full = max(1, min(cap, target // b))
+        assert sizes <= {full} or len(sizes - {full}) <= 1
+    # Short buckets actually run at large B (the utilization win): a long
+    # run of 1.5 s utterances fills to the cap, 10 s ones to target//b.
+    short = adaptive_slices([24000] * 300, target, cap)
+    assert (short[0][1] - short[0][0]) == cap
+    long_b = bucket_length(160000)
+    long = adaptive_slices([160000] * 300, target, cap)
+    assert (long[0][1] - long[0][0]) == target // long_b == 25
+
+
+def test_batch_iterator_adaptive(tmp_path):
+    """Adaptive bucketed batching yields every utterance once with
+    identical per-utterance contents to fixed-B batching."""
+    root = str(tmp_path)
+    ids, lengths = _make_dataset_tree(root)
+    ds = ScpDataset(root, "train.scp", "train", sample_rate=16000,
+                    segment_length=None)
+    # Tiny target -> forces multiple batches over the 5 utterances.
+    target = 2 * bucket_length(max(lengths))
+    batches = list(batch_iterator(ds, 4, bucket=True, sort_by_length=True,
+                                  adaptive_target_samples=target))
+    assert len(batches) > 1
+    seen = [uid for b in batches for uid in b["id"]]
+    assert sorted(seen) == sorted(ids)
+    ref = {uid: b["noisy"][i, :int(b["lengths"][i])]
+           for b in batch_iterator(ds, 2, bucket=True)
+           for i, uid in enumerate(b["id"])}
+    for b in batches:
+        assert b["noisy"].shape[0] <= 4
+        for i, uid in enumerate(b["id"]):
+            np.testing.assert_array_equal(
+                b["noisy"][i, :int(b["lengths"][i])], ref[uid])
+    # Threaded decode path produces the same grouping and contents.
+    threaded = list(batch_iterator(ds, 4, bucket=True, sort_by_length=True,
+                                   adaptive_target_samples=target,
+                                   num_workers=2))
+    assert [list(b["id"]) for b in threaded] == [list(b["id"])
+                                                 for b in batches]
+    for bt, bb in zip(threaded, batches):
+        np.testing.assert_array_equal(bt["noisy"], bb["noisy"])
 
 
 def test_crops_are_resume_stable(tmp_path):

@@ -190,3 +190,56 @@ def test_validation_invariant_to_tail_batch_padding(tmp_path):
                                rtol=1e-5)
     np.testing.assert_allclose(padded["val_si_sdr"], exact["val_si_sdr"],
                                rtol=1e-5)
+
+
+@pytest.mark.slow
+def test_validation_invariant_to_adaptive_batching(tmp_path):
+    """Adaptive (per-bucket-B) validation batching must reproduce the
+    fixed-B val metrics: per-utterance, lengths-masked, averaged over
+    valid rows only -- regrouping cannot move the mean."""
+    from lct_gan_tpu.data import ScpDataset, write_wav
+    from lct_gan_tpu.train.loop import validate
+    from lct_gan_tpu.train.step import make_eval_step
+
+    root = str(tmp_path / "data")
+    sr = 16000
+    rng = np.random.default_rng(5)
+    for sub in ("clean_test", "noisy_test"):
+        os.makedirs(os.path.join(root, sub), exist_ok=True)
+    ids = []
+    # Lengths straddle the 16384-sample minimum bucket so adaptive
+    # grouping actually produces different row counts per bucket, but are
+    # chosen so each utterance lands in the SAME bucket under fixed-B
+    # sorted batching (pad-to-batch-max) and adaptive (own-bucket)
+    # batching: 14000/14400/15000 -> 16384, 19000/20000 -> 20480. Cross-
+    # bucket padding differences are a separate, documented conv/OLA
+    # edge effect (tests/test_length_masking.py), not a grouping effect.
+    for i, T in enumerate((14000, 14400, 15000, 19000, 20000)):
+        uid = f"v{i:03d}"
+        ids.append(uid)
+        clean = (rng.standard_normal(T) * 0.1).astype(np.float32)
+        noise = (rng.standard_normal(T) * 0.05).astype(np.float32)
+        write_wav(os.path.join(root, "clean_test", f"{uid}.wav"), clean, sr)
+        write_wav(os.path.join(root, "noisy_test", f"{uid}.wav"),
+                  clean + noise, sr)
+    with open(os.path.join(root, "test.scp"), "w") as f:
+        f.write("\n".join(ids) + "\n")
+
+    cfg = TrainConfig(segment_seconds=0.25, batch_size=8)
+    state = create_state(cfg, jax.random.PRNGKey(0))
+    val_ds = ScpDataset(root, "test.scp", "test", sample_rate=sr,
+                        segment_length=None, random_segment=False)
+    eval_step = jax.jit(make_eval_step(cfg))
+
+    fixed = validate(eval_step, state.g_params, val_ds, cfg, 3,
+                     compute_pesq=False, compute_stoi=False)
+    # target = 2 min-buckets of audio -> B=2 rows for the 16384 bucket,
+    # B=1 for the 20480+ buckets (plus row padding on tail batches).
+    adaptive = validate(eval_step, state.g_params, val_ds, cfg, 3,
+                        compute_pesq=False, compute_stoi=False,
+                        adaptive_target_seconds=2 * 16384 / sr,
+                        max_batch=8)
+    np.testing.assert_allclose(adaptive["val_mrstft"], fixed["val_mrstft"],
+                               rtol=1e-5)
+    np.testing.assert_allclose(adaptive["val_si_sdr"], fixed["val_si_sdr"],
+                               rtol=1e-5)

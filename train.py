@@ -71,6 +71,13 @@ def parse_args():
     # Validation / checkpointing cadence
     parser.add_argument("--val_interval", type=int, default=50)
     parser.add_argument("--ckpt_interval", type=int, default=50)
+    parser.add_argument("--val_target_batch_seconds", type=float,
+                        default=256.0,
+                        help="Padded audio-seconds per adaptive "
+                             "validation batch (big B for short length "
+                             "buckets -> device utilization; metrics are "
+                             "per-utterance and unchanged). 0 = fixed "
+                             "batch_size validation batches.")
     parser.add_argument("--no_pesq", action="store_true",
                         help="Skip PESQ during validation (package gated).")
     parser.add_argument("--no_stoi", action="store_true")
@@ -120,6 +127,7 @@ def main():
         log_interval=args.log_interval,
         val_interval=args.val_interval,
         ckpt_interval=args.ckpt_interval,
+        val_target_batch_seconds=args.val_target_batch_seconds,
     )
     data = DataConfig(
         data_root=args.data_root,
