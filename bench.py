@@ -15,7 +15,7 @@ the JSON line is the only stdout output.
 
 `--full` switches to the full-utterance workload validation/inference
 actually run (VERDICT r3 weak #2): 256 utterances drawn from a seeded
-2-10 s length distribution, length-sorted and batched ADAPTIVELY
+1.5-10 s length distribution, length-sorted and batched ADAPTIVELY
 (constant padded batch size: B=128 for 2 s buckets down to B=25 for
 10 s buckets), padded to geometric buckets with true `lengths` (exactly
 infer.py's default bucketed path). Throughput counts TRUE audio seconds,
@@ -205,7 +205,7 @@ def run_full():
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--full", action="store_true",
-                    help="bucketed full-utterance workload (2-10 s)")
+                    help="bucketed full-utterance workload (1.5-10 s)")
     args = ap.parse_args()
     if args.full:
         run_full()

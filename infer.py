@@ -23,7 +23,7 @@ def parse_args():
                         help="Orbax checkpoint dir (ckpts/best) or a "
                              "reference PyTorch .pt file.")
     parser.add_argument("--output_dir", type=str, default="enhanced_test")
-    parser.add_argument("--batch_size", type=int, default=128,
+    parser.add_argument("--batch_size", type=int, default=None,
                         help="Bucketed-batch row CAP. With length-sorted "
                              "bucketing (the default) batches are sized "
                              "ADAPTIVELY per length bucket -- "
@@ -31,8 +31,12 @@ def parse_args():
                              "batch, at most this many rows -- so short "
                              "utterances run at large B (device "
                              "utilization) and long ones at small B "
-                             "(memory). With --no_sort_by_length this is "
-                             "the fixed batch size.")
+                             "(memory); default 128. With "
+                             "--no_sort_by_length this is the FIXED "
+                             "batch size and defaults to 32 (scp-order "
+                             "batches pad to the batch max, so a large "
+                             "fixed B can exceed the memory-safe padded "
+                             "size the adaptive path guarantees).")
     parser.add_argument("--target_batch_seconds", type=float, default=256.0,
                         help="Padded audio-seconds per adaptive batch "
                              "(256 = the 128 x 2 s shape known to fill a "
@@ -41,8 +45,11 @@ def parse_args():
     parser.add_argument("--no_sort_by_length", action="store_true",
                         help="Keep scp order with fixed batch_size "
                              "instead of length-sorted adaptive "
-                             "bucketing (outputs are identical either "
-                             "way; sorted+adaptive is faster).")
+                             "bucketing (sorted+adaptive is faster; "
+                             "outputs match except the final ~n_fft+hop "
+                             "samples, where the conv/OLA edge depends "
+                             "on the pad bucket -- use --exact_lengths "
+                             "for bit-honest tails).")
     parser.add_argument("--num_workers", type=int, default=4)
     parser.add_argument("--compress_c", type=float, default=None,
                         help="Mask compression exponent. Default: the "
@@ -165,8 +172,13 @@ def main():
     n_done = 0
     # --exact_lengths: batches of one, padded only to the batch "max"
     # (= the utterance itself) -> exact shapes, no attention-over-padding.
-    batch_size = 1 if args.exact_lengths else args.batch_size
     sort_by_length = not args.exact_lengths and not args.no_sort_by_length
+    if args.exact_lengths:
+        batch_size = 1
+    elif args.batch_size is not None:
+        batch_size = args.batch_size
+    else:
+        batch_size = 128 if sort_by_length else 32
     adaptive = (int(args.target_batch_seconds * args.sample_rate)
                 if sort_by_length else None)
     it = Prefetcher(

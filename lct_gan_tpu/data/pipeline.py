@@ -66,7 +66,7 @@ def adaptive_slices(sorted_lens: Sequence[int], target_samples: int,
     A batch NEVER spans buckets. Padding rows in B costs linear FLOPs,
     but padding an utterance's time axis into a longer bucket costs
     QUADRATIC attention FLOPs -- cross-bucket coalescing was implemented
-    and measured 18% SLOWER than bucket-pure batches on the 2-10 s
+    and measured 18% SLOWER than bucket-pure batches on the 1.5-10 s
     workload (v5e-1, 2026-08-18) even though it filled batches better;
     do not retry. The boundary cut also keeps per-utterance pad lengths
     grouping-independent (outputs move only within the bf16 noise band).
@@ -161,6 +161,10 @@ def batch_iterator(
         return collate(samples, pad_to=pad_to)
 
     if adaptive_target_samples and bucket and sorted_lens is not None:
+        if drop_last:
+            raise ValueError(
+                "drop_last is undefined with adaptive_target_samples "
+                "(adaptive batches have no fixed size to drop against)")
         slices = adaptive_slices(sorted_lens, int(adaptive_target_samples),
                                  batch_size)
     else:

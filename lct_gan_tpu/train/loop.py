@@ -55,7 +55,11 @@ class DataConfig:
     test_scp: str = "test.scp"
     num_prefetch: int = 4
     # Decode-thread count for batch_iterator (reference train.py:118/136
-    # num_workers). Also sizes the PESQ/STOI host scoring pool.
+    # num_workers). Also sizes the PESQ/STOI host scoring pool. On a
+    # 1-core host, 0 (serial in-prefetch-thread decode) measures fastest
+    # (tools/bench_input_pipeline.py); the default matches the
+    # reference's 4 and the step stays compute-bound either way because
+    # the prefetch thread overlaps decode with device work.
     num_workers: int = 4
 
 

@@ -24,7 +24,10 @@ import time
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--reference", default="/root/reference")
-    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--batch", type=int, default=None,
+                    help="Fixed mode: rows per batch (default 8). "
+                         "--full mode: overrides the adaptive row CAP "
+                         "(default 128, matching bench.py --full).")
     ap.add_argument("--iters", type=int, default=3)
     ap.add_argument("--seconds", type=float, default=2.0)
     ap.add_argument("--sample_rate", type=int, default=16000)
@@ -32,7 +35,8 @@ def main():
                     help="torch.set_num_threads (0 = torch default)")
     ap.add_argument("--full", action="store_true",
                     help="bench.py --full's bucketed full-utterance "
-                         "workload (same seeded 2-10 s lengths, B=8)")
+                         "workload (same seeded 1.5-10 s lengths, same "
+                         "length-adaptive batching)")
     args = ap.parse_args()
 
     sys.path.insert(0, args.reference)
@@ -72,7 +76,7 @@ def main():
         lens = full_utterance_lengths(sr=args.sample_rate)
         batches = []
         total_audio = 0.0
-        for chunk in full_batch_chunks(lens):
+        for chunk in full_batch_chunks(lens, batch=args.batch):
             pad_to = bucket_length(max(chunk))
             x = np.zeros((len(chunk), pad_to), np.float32)
             for j, L in enumerate(chunk):
@@ -100,9 +104,10 @@ def main():
         }))
         return
 
+    batch = 8 if args.batch is None else args.batch
     T = int(args.seconds * args.sample_rate)
     torch.manual_seed(0)
-    wave = torch.randn(args.batch, T) * 0.1
+    wave = torch.randn(batch, T) * 0.1
 
     with torch.no_grad():
         model(wave)  # warmup (allocator, thread pool)
@@ -113,13 +118,13 @@ def main():
     # LCTEnhancer.forward returns (enhanced, mask); touch it for safety.
     _ = out[0].sum().item() if isinstance(out, tuple) else out.sum().item()
 
-    audio_sec = args.iters * args.batch * args.seconds
+    audio_sec = args.iters * batch * args.seconds
     thr = audio_sec / dt
     print(json.dumps({
         "metric": "reference_torch_cpu_throughput",
         "value": round(thr, 3),
         "unit": "audio-sec/sec",
-        "batch": args.batch,
+        "batch": batch,
         "iters": args.iters,
         "seconds_per_utt": args.seconds,
         "torch": torch.__version__,
