@@ -22,9 +22,23 @@ def parse_args():
     p.add_argument("--checkpoint", required=True,
                    help="Orbax checkpoint dir or reference .pt file")
     p.add_argument("--output", required=True, help="output .zip path")
-    p.add_argument("--batch_size", type=int, default=8)
+    p.add_argument("--batch_size", type=int, default=None,
+                   help="Rows per exported shape (default 8). With "
+                        "--adaptive_buckets this is the row CAP "
+                        "(default 128).")
     p.add_argument("--seconds", type=float, nargs="+", default=[2.0, 4.0],
                    help="utterance-length buckets to export")
+    p.add_argument("--adaptive_buckets", type=float, nargs=2, default=None,
+                   metavar=("MIN_S", "MAX_S"),
+                   help="Instead of --seconds x batch_size, export one "
+                        "shape per geometric length bucket covering "
+                        "[MIN_S, MAX_S] seconds with length-ADAPTIVE row "
+                        "counts (target_batch_seconds padded audio per "
+                        "batch) -- the serving-side mirror of infer.py's "
+                        "adaptive batching.")
+    p.add_argument("--target_batch_seconds", type=float, default=256.0,
+                   help="Padded audio-seconds per adaptive shape "
+                        "(--adaptive_buckets only).")
     p.add_argument("--sample_rate", type=int, default=16000)
     p.add_argument("--compress_c", type=float, default=None)
     p.add_argument("--max_time_context", type=int, default=None)
@@ -59,8 +73,18 @@ def main():
     cfg = TrainConfig(sample_rate=args.sample_rate, compress_c=compress_c,
                       max_time_context=mtc)
     g_params = load_generator_params(args.checkpoint, cfg)
-    shapes = [(args.batch_size, int(s * args.sample_rate))
-              for s in args.seconds]
+    if args.adaptive_buckets is not None:
+        from lct_gan_tpu.export_model import adaptive_export_shapes
+
+        lo, hi = args.adaptive_buckets
+        shapes = adaptive_export_shapes(
+            lo, hi, args.sample_rate,
+            target_batch_seconds=args.target_batch_seconds,
+            max_batch=(128 if args.batch_size is None
+                       else args.batch_size))
+    else:
+        b = 8 if args.batch_size is None else args.batch_size
+        shapes = [(b, int(s * args.sample_rate)) for s in args.seconds]
     export_enhancer(args.output, g_params, cfg, shapes,
                     keep_pallas=args.keep_pallas)
     print(f"Exported {len(shapes)} shape(s) {shapes} to {args.output}")

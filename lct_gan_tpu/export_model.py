@@ -24,7 +24,36 @@ from typing import Dict, List, Sequence, Tuple
 
 import numpy as np
 
-__all__ = ["export_enhancer", "load_exported", "ExportedEnhancer"]
+__all__ = [
+    "export_enhancer", "load_exported", "ExportedEnhancer",
+    "adaptive_export_shapes",
+]
+
+
+def adaptive_export_shapes(min_seconds: float, max_seconds: float,
+                           sample_rate: int = 16000,
+                           target_batch_seconds: float = 256.0,
+                           max_batch: int = 128
+                           ) -> List[Tuple[int, int]]:
+    """(batch, samples) export table mirroring infer.py's length-adaptive
+    bucketed batching: one shape per geometric length bucket covering
+    [min_seconds, max_seconds], with rows = clamp(target // bucket, 1,
+    max_batch) -- short buckets serve at large B (device utilization),
+    long buckets at small B (bounded memory), padded batch ~constant.
+    ExportedEnhancer's smallest-covering-shape selection then picks the
+    right bucket per request at serve time.
+    """
+    from lct_gan_tpu.data import bucket_length
+
+    target = int(target_batch_seconds * sample_rate)
+    stop = int(max_seconds * sample_rate)
+    shapes: List[Tuple[int, int]] = []
+    t = bucket_length(int(min_seconds * sample_rate))
+    while True:
+        shapes.append((max(1, min(int(max_batch), target // t)), t))
+        if t >= stop:
+            return shapes
+        t = bucket_length(t + 1)
 
 
 def export_enhancer(path: str, g_params, cfg,

@@ -61,3 +61,32 @@ def test_export_bucket_selection_and_padding(tmp_path, small_setup):
 
     with pytest.raises(ValueError):
         loaded(rng.standard_normal((8, 3 * T)).astype(np.float32))
+
+
+def test_adaptive_export_shapes_table():
+    """The export shape table mirrors infer.py's adaptive batching: one
+    shape per geometric bucket, rows = clamp(target // bucket, 1, cap),
+    covering the requested second range."""
+    from lct_gan_tpu.data import bucket_length
+    from lct_gan_tpu.export_model import adaptive_export_shapes
+
+    sr = 16000
+    shapes = adaptive_export_shapes(1.5, 10.0, sr)
+    buckets = [t for _, t in shapes]
+    # Exactly the geometric grid from the 1.5 s bucket to the first
+    # bucket covering 10 s, each once, ascending.
+    assert buckets[0] == bucket_length(int(1.5 * sr))
+    assert buckets[-1] >= 10 * sr > buckets[-2]
+    assert buckets == sorted(set(buckets))
+    for i in range(len(buckets) - 1):
+        assert bucket_length(buckets[i] + 1) == buckets[i + 1]
+    target = int(256.0 * sr)
+    for b, t in shapes:
+        assert b == max(1, min(128, target // t))
+    # Every utterance length in range has a covering shape whose padded
+    # size stays within ~the target (the serve-memory bound).
+    for L in range(int(1.5 * sr), 10 * sr + 1, 7919):
+        fits = [(b, t) for b, t in shapes if t >= L]
+        assert fits
+        b, t = min(fits, key=lambda s: s[0] * s[1])
+        assert b * t <= max(target, t)
