@@ -136,9 +136,12 @@ def main():
         out, _ = enhancer.apply({"params": params}, noisy, lengths)
         return out
 
+    # load_clean=False: inference only needs the noisy side; skipping the
+    # clean decode halves host input cost (the 48 kHz full-utterance path
+    # is input-bound on small hosts otherwise).
     ds = ScpDataset(args.data_root, args.test_scp, "test",
                     sample_rate=args.sample_rate, segment_length=None,
-                    random_segment=False)
+                    random_segment=False, load_clean=False)
     os.makedirs(args.output_dir, exist_ok=True)
 
     if args.chunk_seconds is not None:

@@ -50,7 +50,13 @@ class ScpDataset:
         clean_subdir: Optional[str] = None,
         noisy_subdir: Optional[str] = None,
         seed: int = 0,
+        load_clean: bool = True,
     ) -> None:
+        """load_clean=False skips decoding the clean wav entirely
+        (samples carry no 'clean' key). Inference needs only the noisy
+        side, and decode is half the host input cost -- on a 1-core host
+        the 48 kHz full-utterance path is input-BOUND with both sides
+        decoded (tools/bench_input_pipeline.py --infer --resample)."""
         self.data_root = data_root
         self.sample_rate = sample_rate
         self.segment_length = segment_length
@@ -62,6 +68,7 @@ class ScpDataset:
         # workers cannot). batch_iterator calls set_epoch() each epoch.
         self.seed = seed
         self.epoch = 0
+        self.load_clean = bool(load_clean)
 
         if not os.path.isabs(scp_path):
             scp_path = os.path.join(data_root, scp_path)
@@ -113,15 +120,21 @@ class ScpDataset:
     def __getitem__(self, index: int) -> Dict:
         utt_id = self.utt_ids[index]
         noisy_path = os.path.join(self.noisy_dir, f"{utt_id}.wav")
-        clean_path = os.path.join(self.clean_dir, f"{utt_id}.wav")
         noisy, sr_noisy = load_mono_wave(noisy_path, self.sample_rate)
+        if not self.load_clean:
+            noisy, _ = self._crop_pair(noisy, noisy, index)
+            sample: Dict = {"id": utt_id, "noisy": noisy, "sr": sr_noisy}
+            if self.transform is not None:
+                sample = self.transform(sample)
+            return sample
+        clean_path = os.path.join(self.clean_dir, f"{utt_id}.wav")
         clean, sr_clean = load_mono_wave(clean_path, self.sample_rate)
         if sr_noisy != sr_clean:
             raise RuntimeError(
                 f"Sample rate mismatch for {utt_id}: noisy={sr_noisy}, "
                 f"clean={sr_clean}")
         noisy, clean = self._crop_pair(noisy, clean, index)
-        sample: Dict = {
+        sample = {
             "id": utt_id,
             "noisy": noisy,
             "clean": clean,
@@ -143,25 +156,30 @@ def collate(batch: List[Dict],
     """
     if len(batch) == 0:
         return {}
+    has_clean = "clean" in batch[0]
     ids = [b["id"] for b in batch]
     lengths = np.asarray([b["noisy"].shape[-1] for b in batch],
                          dtype=np.int64)
     max_len = int(max(max(b["noisy"].shape[-1] for b in batch),
-                      max(b["clean"].shape[-1] for b in batch)))
+                      max(b["clean"].shape[-1] for b in batch)
+                      if has_clean else 0))
     if pad_to is not None:
         if pad_to < max_len:
             raise ValueError(f"pad_to={pad_to} < batch max length {max_len}")
         max_len = pad_to
     B = len(batch)
     noisy = np.zeros((B, max_len), dtype=np.float32)
-    clean = np.zeros((B, max_len), dtype=np.float32)
     for i, b in enumerate(batch):
         noisy[i, :b["noisy"].shape[-1]] = b["noisy"]
-        clean[i, :b["clean"].shape[-1]] = b["clean"]
-    return {
+    out = {
         "id": ids,
         "noisy": noisy,
-        "clean": clean,
         "lengths": lengths,
         "sr": batch[0]["sr"],
     }
+    if has_clean:
+        clean = np.zeros((B, max_len), dtype=np.float32)
+        for i, b in enumerate(batch):
+            clean[i, :b["clean"].shape[-1]] = b["clean"]
+        out["clean"] = clean
+    return out

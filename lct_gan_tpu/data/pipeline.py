@@ -155,7 +155,8 @@ def batch_iterator(
             pad_to = dataset.segment_length
         elif bucket:
             mx = max(
-                max(s["noisy"].shape[-1], s["clean"].shape[-1])
+                max(s["noisy"].shape[-1],
+                    s["clean"].shape[-1] if "clean" in s else 0)
                 for s in samples)
             pad_to = bucket_length(mx)
         return collate(samples, pad_to=pad_to)

@@ -154,6 +154,38 @@ def test_batch_iterator_sort_by_length(tmp_path):
                 b["noisy"][i, :int(b["lengths"][i])], ref[uid])
 
 
+def test_load_clean_false(tmp_path):
+    """load_clean=False (the infer path) skips the clean decode: samples
+    and collated batches carry no 'clean' key, and the noisy side is
+    byte-identical to a paired load."""
+    root = str(tmp_path)
+    ids, _ = _make_dataset_tree(root)
+    pair = ScpDataset(root, "train.scp", "train", sample_rate=16000,
+                      segment_length=None)
+    noisy_only = ScpDataset(root, "train.scp", "train", sample_rate=16000,
+                            segment_length=None, load_clean=False)
+    s = noisy_only[0]
+    assert "clean" not in s
+    np.testing.assert_array_equal(s["noisy"], pair[0]["noisy"])
+    batches = list(batch_iterator(noisy_only, 2, bucket=True,
+                                  sort_by_length=True,
+                                  adaptive_target_samples=2 * 16384))
+    ref = list(batch_iterator(pair, 2, bucket=True, sort_by_length=True,
+                              adaptive_target_samples=2 * 16384))
+    assert all("clean" not in b for b in batches)
+    for b, r in zip(batches, ref):
+        assert list(b["id"]) == list(r["id"])
+        np.testing.assert_array_equal(b["noisy"], r["noisy"])
+        np.testing.assert_array_equal(b["lengths"], r["lengths"])
+    # Segment-crop mode still crops deterministically without clean.
+    seg = ScpDataset(root, "train.scp", "train", sample_rate=16000,
+                     segment_length=8000, random_segment=True,
+                     load_clean=False)
+    seg_pair = ScpDataset(root, "train.scp", "train", sample_rate=16000,
+                          segment_length=8000, random_segment=True)
+    np.testing.assert_array_equal(seg[1]["noisy"], seg_pair[1]["noisy"])
+
+
 def test_adaptive_slices_properties():
     """Length-adaptive batch slices: exact cover, bucket-homogeneous
     batches (padding L is quadratic-attention cost; padding B is linear

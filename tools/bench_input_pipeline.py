@@ -31,6 +31,9 @@ from lct_gan_tpu.data import ScpDataset, batch_iterator, write_wav  # noqa: E402
 
 # Perf-ledger train-step time (tools/profile_train_step.py 64 --bf16).
 TRAIN_STEP_MS_B64 = 235.4
+# Perf-ledger full-utterance device throughput (bench.py --full, N=256,
+# adaptive batching, 2026-08-18).
+DEVICE_FULL_AUDIO_SEC_PER_S = 3455.0
 
 
 def make_tree(root: str, n: int, sr: int, seed: int = 0):
@@ -64,7 +67,9 @@ def drain(it):
     nbytes = 0
     for b in it:
         nb += 1
-        nbytes += b["noisy"].nbytes + b["clean"].nbytes
+        nbytes += b["noisy"].nbytes
+        if "clean" in b:
+            nbytes += b["clean"].nbytes
     dt = time.time() - t0
     return nb, dt, nbytes
 
@@ -76,6 +81,11 @@ def main():
     ap.add_argument("--resample", action="store_true",
                     help="store 48 kHz files (decode pays 48->16 resample)")
     ap.add_argument("--workers", type=int, nargs="*", default=[0, 2, 4, 8])
+    ap.add_argument("--infer", action="store_true",
+                    help="measure the full-utterance decode path "
+                         "(bucketed + length-sorted + adaptive batching, "
+                         "exactly infer.py's default) in TRUE audio-sec/s "
+                         "against the device's full-utterance rate")
     args = ap.parse_args()
 
     file_sr = 48000 if args.resample else 16000
@@ -84,6 +94,37 @@ def main():
         mean_sec = make_tree(root, args.n, file_sr)
         print(f"tree: {args.n} pairs, mean {mean_sec:.2f}s @ {file_sr} Hz, "
               f"B={args.batch}", flush=True)
+
+        if args.infer:
+            # load_clean=False mirrors infer.py: only the noisy side is
+            # decoded (the clean decode would double host input cost).
+            ds = ScpDataset(root, "train.scp", "train", sample_rate=16000,
+                            segment_length=None, random_segment=False,
+                            load_clean=False)
+            target = 256 * 16000
+            for w in args.workers:
+                if w == args.workers[0]:  # warm page cache
+                    drain(batch_iterator(ds, 128, bucket=True,
+                                         sort_by_length=True,
+                                         adaptive_target_samples=target))
+                t0 = time.time()
+                audio = 0.0
+                nb = 0
+                for b in batch_iterator(ds, 128, bucket=True,
+                                        sort_by_length=True,
+                                        adaptive_target_samples=target,
+                                        num_workers=w):
+                    audio += float(np.sum(b["lengths"])) / 16000.0
+                    nb += 1
+                dt = time.time() - t0
+                rate = audio / dt
+                ratio = rate / DEVICE_FULL_AUDIO_SEC_PER_S
+                print(f"infer path num_workers={w}: {nb} batches, "
+                      f"{audio:.0f} audio-sec in {dt:.2f}s = {rate:.0f} "
+                      f"audio-sec/s ({ratio:.2f}x the "
+                      f"{DEVICE_FULL_AUDIO_SEC_PER_S:.0f} audio-sec/s "
+                      f"device rate)", flush=True)
+            return
 
         ds = ScpDataset(root, "train.scp", "train", sample_rate=16000,
                         segment_length=32000, random_segment=True)
