@@ -8,10 +8,12 @@ from lct_gan_tpu.eval.compare import (
     plot_specs_triptych,
 )
 
+from lct_gan_tpu.eval.serve import bake_enhance
 from lct_gan_tpu.eval.streaming import StreamingEnhancer, enhance_in_chunks
 
 __all__ = [
     "StreamingEnhancer",
+    "bake_enhance",
     "enhance_in_chunks",
     "plot_specs_triptych",
     "ModelComparator",
