@@ -70,14 +70,22 @@ def parse_args():
     parser.add_argument("--chunk_overlap", type=float, default=0.5)
     parser.add_argument("--exact_lengths", action="store_true",
                         help="Enhance one utterance at a time at its exact "
-                             "length (no bucket padding). Bucketed batches "
-                             "mask padding out of the time attention, so "
-                             "they match exact-length outputs up to local "
-                             "conv/OLA edge effects (the reference's padded "
-                             "batches have no such mask, infer.py:131-164); "
-                             "this flag trades one compile per distinct "
-                             "length for bit-honest outputs -- use for "
-                             "parity evaluation.")
+                             "length (no bucket padding). The bucketed "
+                             "default masks padding out of the time "
+                             "attention EXCEPT 3 trailing receptive-field "
+                             "frames whose contents differ under padding; "
+                             "they are keys for every query, so outputs "
+                             "diverge GLOBALLY but weighted by those keys' "
+                             "softmax mass: measured max|diff| <= ~1e-5 for "
+                             ">= 2 s utterances, up to ~5e-3 below 2 s, "
+                             "plus a ~1e-2 local edge effect in the final "
+                             "~n_fft+hop samples at any length "
+                             "(docs/BUCKETED_VS_EXACT.md; the reference's "
+                             "padded batches have no mask at all, "
+                             "infer.py:131-164). This flag trades one "
+                             "compile per distinct length for bit-honest "
+                             "outputs -- use for parity evaluation or "
+                             "sub-2 s clips.")
     return parser.parse_args()
 
 
@@ -131,8 +139,10 @@ def main():
 
     # Baked-params jit: the weights are fixed for the whole run, so close
     # them over the trace -- XLA constant-folds the per-call parameter
-    # prep (kernel operand packing, casts), measured 1.07x the
-    # params-as-argument jit on TPU (lct_gan_tpu/eval/serve.py).
+    # prep (kernel operand packing, casts). The exported StableHLO
+    # artifact built from this same baking measured 1.07x the
+    # params-as-argument jit on TPU (tools/bench_export.py); the live
+    # baked path shares the mechanism but hasn't been benched separately.
     # lengths masks bucket-padding frames out of the time attention
     # (models/generator.py); with exact shapes it is a no-op.
     enhance = bake_enhance(enhancer, g_params)

@@ -59,25 +59,40 @@ def test_infer_cli_end_to_end(tmp_path, monkeypatch):
     for uid, L in zip(ids, lens):
         wav, sr = read_wav(os.path.join(out_dir, f"{uid}.wav"))
         assert sr == SR
-        # outputs are trimmed to true lengths (unlike the reference's
-        # padded-wav quirk, infer.py:150-155)
-        assert wav.shape == (L,)
+        # read_wav returns [C, T] (data/audio_io.py:39); outputs are mono
+        # and trimmed to true lengths (unlike the reference's padded-wav
+        # quirk, infer.py:150-155)
+        assert wav.shape == (1, L)
         assert np.isfinite(wav).all()
         assert float(np.abs(wav).max()) > 0
 
-    # --exact_lengths enhances at the true shape; the bucketed default
-    # masks padding out of the attention, so the two agree except for
-    # local conv/OLA edge effects in the final ~n_fft+hop samples.
+    # --exact_lengths enhances at the true shape. The bucketed default
+    # masks padding out of the time attention EXCEPT the 3 trailing
+    # conv-derived bottleneck frames (models/generator.py key mask cuts
+    # at frames_valid+3): those frames are attention KEYS for every query
+    # frame, so bucketed-vs-exact divergence is GLOBAL, weighted by those
+    # keys' softmax mass (shrinks with length). Measured sweep
+    # (tools/bucketed_vs_exact.py, docs/BUCKETED_VS_EXACT.md, identical
+    # on CPU-f32 and TPU at short lengths): body max |diff| up to 5.2e-3
+    # at 0.3 s, <= 1e-5 at >= 2 s. Band here = 1e-2 (~2x the measured
+    # 0.3 s worst case) + PCM LSBs for the wav roundtrip on each side.
+    # The final ~n_fft+hop samples additionally carry the local conv/OLA
+    # edge effect (measured up to ~2.7e-2, NOT length-dependent) and get
+    # a loose catastrophe-only band.
     exact_dir = str(tmp_path / "exact")
     _run_cli(monkeypatch, [
         "--data_root", data_root, "--checkpoint", ckpt,
         "--output_dir", exact_dir, "--exact_lengths",
     ])
-    n_edge = 512 + 256  # enhancer n_fft + hop (models/generator.py:367)
+    lsb = 1.0 / 32768.0
+    n_edge = 512 + 256  # enhancer n_fft + hop
     for uid, L in zip(ids, lens):
         bucketed, _ = read_wav(os.path.join(out_dir, f"{uid}.wav"))
         exact, _ = read_wav(os.path.join(exact_dir, f"{uid}.wav"))
-        assert exact.shape == (L,)
+        assert exact.shape == (1, L)
         np.testing.assert_allclose(
-            bucketed[: L - n_edge], exact[: L - n_edge],
-            rtol=2e-4, atol=1e-5)
+            bucketed[0, : L - n_edge], exact[0, : L - n_edge],
+            rtol=0, atol=1e-2 + 2 * lsb)
+        np.testing.assert_allclose(
+            bucketed[0, L - n_edge:], exact[0, L - n_edge:],
+            rtol=0, atol=0.1)

