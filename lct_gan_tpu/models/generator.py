@@ -77,9 +77,7 @@ def _fused_ftf_dispatch(seq: jax.Array, ln1, gru, ln2, attn, lin, *,
     (lct_gan_tpu/ops/ftf.py) when the dispatch policy allows; returns None
     to take the composed jnp path. Collecting params via return_params
     keeps the parameter tree identical on both paths."""
-    import os
-
-    from lct_gan_tpu.ops.dispatch import pallas_mode
+    from lct_gan_tpu.ops.dispatch import ftf_precise, pallas_mode
     from lct_gan_tpu.ops.ftf import MAX_FTF_SEQ, fused_ftf_block
 
     mode = pallas_mode()
@@ -88,7 +86,7 @@ def _fused_ftf_dispatch(seq: jax.Array, ln1, gru, ln2, attn, lin, *,
         return None
     # Testing mode: all-f32 kernel GEMMs (fwd + fused bwd) so witnesses
     # can assert tight numerical bands (see __graft_entry__.py).
-    precise = bool(os.environ.get("LCT_FTF_PRECISE"))
+    precise = ftf_precise()
 
     ln1_s, ln1_b = ln1(seq, return_params=True)
     w_ih, w_hh, b_ih, b_hh = gru(return_params=True)
@@ -211,11 +209,16 @@ class TimeGRUBlock(nn.Module):
                  frames_valid: Optional[jax.Array] = None) -> jax.Array:
         """frames_valid: optional [B] int count of valid time frames per
         batch row. When given, zero-padded frames of bucketed batches are
-        hidden from the time attention's keys, so valid frames' outputs
-        match exact-length inference (up to local conv edge effects). The
-        reference has no equivalent -- its batched inference lets valid
-        frames attend to padding (reference generator.py:245-246 over the
-        zero-padded batch of infer.py)."""
+        hidden from the time attention's keys EXCEPT the 3 trailing
+        receptive-field frames (see LctGenerator), whose padded-input
+        contents differ from the exact-length run's. Those keys serve
+        every query, so bucketed outputs diverge from exact-length
+        inference GLOBALLY but weighted by their softmax mass: measured
+        <= ~1e-5 for >= 2 s utterances, up to ~5e-3 below 2 s
+        (docs/BUCKETED_VS_EXACT.md). The reference has no equivalent --
+        its batched inference lets valid frames attend to raw padding
+        (reference generator.py:245-246 over the zero-padded batch of
+        infer.py), diverging strictly more."""
         B, T, F, C = x.shape
         ln1 = LayerNorm(name="layernorm1")
         gru = GroupedGRU(groups=self.groups, hidden_size=C // self.groups,

@@ -19,11 +19,14 @@ from typing import Iterator, Optional
 
 import jax
 
-__all__ = ["pallas_mode", "pallas_override"]
+__all__ = ["pallas_mode", "pallas_override", "ftf_precise",
+           "ftf_precise_override"]
 
 _UNSET = object()
 _override: contextvars.ContextVar = contextvars.ContextVar(
     "lct_pallas_override", default=_UNSET)
+_precise_override: contextvars.ContextVar = contextvars.ContextVar(
+    "lct_ftf_precise_override", default=_UNSET)
 
 
 @contextlib.contextmanager
@@ -39,6 +42,27 @@ def pallas_override(mode: Optional[str]) -> Iterator[None]:
         yield
     finally:
         _override.reset(token)
+
+
+@contextlib.contextmanager
+def ftf_precise_override(enabled: bool) -> Iterator[None]:
+    """Scoped toggle for all-f32 FTF kernel GEMMs (fwd + fused bwd), so
+    witnesses can assert tight numerical bands without mutating
+    process-global state (same pattern as pallas_override). Takes
+    precedence over the LCT_FTF_PRECISE env var."""
+    token = _precise_override.set(bool(enabled))
+    try:
+        yield
+    finally:
+        _precise_override.reset(token)
+
+
+def ftf_precise() -> bool:
+    """Should the fused FTF kernels run their GEMMs in f32?"""
+    ov = _precise_override.get()
+    if ov is not _UNSET:
+        return ov
+    return bool(os.environ.get("LCT_FTF_PRECISE"))
 
 
 def pallas_mode() -> Optional[str]:
