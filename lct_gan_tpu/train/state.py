@@ -51,6 +51,19 @@ class TrainConfig:
     # flag). Training with it threads the 'spectral' u/v buffers through
     # every discriminator forward, torch power-iteration semantics.
     use_spectral_norm: bool = False
+    # Opt-in fast spectral-norm step: real+fake CONCAT-batched through
+    # each discriminator stack (one 2B apply instead of two sequential B
+    # applies per stack), same as the default weight-norm path. The
+    # sigma math per sample is identical; only the u/v power-iteration
+    # TRAJECTORY differs from torch (one iteration per 2B apply instead
+    # of one per B apply -- half as many per step). Power iteration's
+    # fixed point is the weight's top singular pair regardless of how
+    # often it runs, so training dynamics match the parity path in
+    # steady state (tools/sn_dynamics.py measures it); use
+    # use_spectral_norm WITHOUT this flag for bit-honest torch
+    # power-iteration ORDER parity. Measured v5e-1 step time B=64 bf16:
+    # parity 305.8 ms, fast see docs/STATUS.md ledger.
+    fast_spectral_norm: bool = False
     # bf16 discriminator compute (params stay f32; MXU accumulates f32).
     # The generator keeps f32 convs + bf16-matmul Pallas kernels either way.
     bf16: bool = False

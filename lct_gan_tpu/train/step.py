@@ -64,6 +64,12 @@ def make_train_step(cfg: TrainConfig):
                               compress_input=False, return_stfts=False)
 
     use_sn = cfg.use_spectral_norm
+    # Concat-batched D applies (one 2B apply per stack) are used by the
+    # default weight-norm path and, opt-in, by fast spectral norm; the
+    # parity SN path keeps torch's sequential per-B applies because each
+    # training forward advances the u/v power iteration, so the apply
+    # ORDER changes the u/v trajectory (not the steady state).
+    concat_batched = (not use_sn) or cfg.fast_spectral_norm
 
     def apply_disc(model, params, spectral, x):
         """Discriminator forward with torch spectral-norm semantics: when
@@ -95,22 +101,29 @@ def make_train_step(cfg: TrainConfig):
         fake_for_d = jax.lax.stop_gradient(enhanced0)
 
         def d_loss_fn(d_params, spectral):
-            if not use_sn:
+            if concat_batched:
                 # Real+fake CONCAT-batched through each stack: identical
                 # math (every discriminator op is per-sample), but ONE
                 # conv graph at 2B instead of two at B -- measured 1.9x
                 # faster fwd+bwd on v5e (143 -> 75 ms at B=64 bf16).
+                # Under fast_spectral_norm this runs ONE power iteration
+                # per stack here (torch-order parity runs two).
                 both = jnp.concatenate([clean, fake_for_d], axis=0)
                 b = clean.shape[0]
-                (mpd_l, _), _ = apply_disc(mpd, d_params["mpd"], None, both)
-                (msd_l, _), _ = apply_disc(msd, d_params["msd"], None, both)
+                sp_mpd = spectral["mpd"] if use_sn else None
+                sp_msd = spectral["msd"] if use_sn else None
+                (mpd_l, _), sp_mpd = apply_disc(
+                    mpd, d_params["mpd"], sp_mpd, both)
+                (msd_l, _), sp_msd = apply_disc(
+                    msd, d_params["msd"], sp_msd, both)
                 loss = discriminator_loss(
                     flatten_logits_lists([l[:b] for l in mpd_l],
                                          [l[:b] for l in msd_l]),
                     flatten_logits_lists([l[b:] for l in mpd_l],
                                          [l[b:] for l in msd_l]),
                     loss_type=cfg.gan_loss)
-                return loss, None
+                return loss, ({"mpd": sp_mpd, "msd": sp_msd} if use_sn
+                              else None)
             # Spectral norm: forward order matches the reference
             # (train.py:184-189) -- each forward runs one power
             # iteration, so the u/v trajectory depends on the sequence
@@ -147,7 +160,7 @@ def make_train_step(cfg: TrainConfig):
             irm_a, pred_a = align_tf_targets(irm_c, mask_c[:, 0])
             m_loss = mask_mse_loss(pred_a, irm_a)
 
-            if not use_sn:
+            if concat_batched:
                 # Same concat-batching as the D step: fake+real through
                 # each stack once. Row independence keeps the math
                 # identical; the real rows depend only on `clean`, so no
@@ -163,10 +176,12 @@ def make_train_step(cfg: TrainConfig):
                 # and the FM forward reductions +1.8 ms).
                 b = enhanced.shape[0]
                 both = jnp.concatenate([enhanced, clean], axis=0)
-                ((mpd_l, mpd_fm), _) = apply_disc(
-                    mpd, d_params["mpd"], None, both)
-                ((msd_l, msd_fm), _) = apply_disc(
-                    msd, d_params["msd"], None, both)
+                sp_mpd = spectral["mpd"] if use_sn else None
+                sp_msd = spectral["msd"] if use_sn else None
+                ((mpd_l, mpd_fm), sp_mpd_2) = apply_disc(
+                    mpd, d_params["mpd"], sp_mpd, both)
+                ((msd_l, msd_fm), sp_msd_2) = apply_disc(
+                    msd, d_params["msd"], sp_msd, both)
                 mpd_fake = [l[:b] for l in mpd_l]
                 msd_fake = [l[:b] for l in msd_l]
                 mpd_fake_fm = [[f[:b] for f in fs] for fs in mpd_fm]
@@ -175,7 +190,6 @@ def make_train_step(cfg: TrainConfig):
                     [[f[b:] for f in fs] for fs in mpd_fm])
                 msd_real_fm = jax.lax.stop_gradient(
                     [[f[b:] for f in fs] for fs in msd_fm])
-                sp_mpd_2 = sp_msd_2 = None
             else:
                 sp_mpd = spectral["mpd"]
                 sp_msd = spectral["msd"]

@@ -119,6 +119,68 @@ def test_spectral_norm_training_step(batch):
     assert np.isfinite(float(metrics2["d_loss"]))
 
 
+def test_fast_spectral_norm_training_step(batch):
+    """--fast_spectral_norm (concat-batched SN applies) must train: losses
+    finite, u/v buffers move, and the step is self-consistent. Numerical
+    equivalence to the parity path is pinned at the power-iteration fixed
+    point by test_fast_sn_matches_parity_at_converged_uv (the trajectories
+    differ by construction away from it)."""
+    noisy, clean = batch
+    cfg = TrainConfig(segment_seconds=0.25, batch_size=2,
+                      use_spectral_norm=True, fast_spectral_norm=True)
+    state = create_state(cfg, jax.random.PRNGKey(0))
+    step = jax.jit(make_train_step(cfg), donate_argnums=())
+    new_state, metrics = step(state, noisy, clean)
+    for k, v in metrics.items():
+        assert np.isfinite(float(v)), f"{k} not finite"
+    moved = [
+        float(jnp.max(jnp.abs(a - b)))
+        for a, b in zip(jax.tree.leaves(state.spectral),
+                        jax.tree.leaves(new_state.spectral))
+    ]
+    assert max(moved) > 0
+    _, metrics2 = step(new_state, noisy, clean)
+    assert np.isfinite(float(metrics2["d_loss"]))
+
+
+def test_fast_sn_matches_parity_at_converged_uv(batch):
+    """Power iteration's fixed point is schedule-independent: with u/v
+    pre-converged on the initial weights, the fast (concat-batched, one
+    iteration per stack) and parity (sequential, torch order) SN steps
+    compute the same sigmas and hence the same losses."""
+    from lct_gan_tpu.train import build_models
+
+    noisy, clean = batch
+    base = TrainConfig(segment_seconds=0.25, batch_size=2,
+                       use_spectral_norm=True)
+    state = create_state(base, jax.random.PRNGKey(0))
+    _, mpd, msd = build_models(base)
+
+    # Converge every SN conv's u/v on the INITIAL weights (extra power
+    # iterations past convergence are no-ops up to float noise).
+    spectral = state.spectral
+    for model, key, x in ((mpd, "mpd", noisy), (msd, "msd", noisy)):
+        params = getattr(state, f"{key}_params")
+        sp = spectral[key]
+        for _ in range(40):
+            _, mut = model.apply({"params": params, "spectral": sp}, x,
+                                 mutable=["spectral"])
+            sp = mut["spectral"]
+        spectral = {**spectral, key: sp}
+    state = state.replace(spectral=spectral)
+
+    fast_cfg = TrainConfig(segment_seconds=0.25, batch_size=2,
+                           use_spectral_norm=True, fast_spectral_norm=True)
+    _, m_parity = jax.jit(make_train_step(base), donate_argnums=())(
+        state, noisy, clean)
+    _, m_fast = jax.jit(make_train_step(fast_cfg), donate_argnums=())(
+        state, noisy, clean)
+    for k in ("d_loss", "g_loss", "mr_loss", "mask_loss", "adv_loss",
+              "fm_loss"):
+        np.testing.assert_allclose(float(m_fast[k]), float(m_parity[k]),
+                                   rtol=1e-4, atol=1e-6, err_msg=k)
+
+
 def test_bf16_train_step(state, batch):
     """--bf16 (bf16 discriminator compute): params/opt state stay f32, the
     step runs, and losses land near the f32 step's (bf16 convs with f32

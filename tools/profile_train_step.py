@@ -26,8 +26,10 @@ batch = (int(sys.argv[1]) if len(sys.argv) > 1
          and not sys.argv[1].startswith("-") else 64)
 bf16 = "--bf16" in sys.argv
 use_sn = "--use_spectral_norm" in sys.argv
+fast_sn = "--fast_spectral_norm" in sys.argv
 remainder = "--remainder" in sys.argv
-cfg = TrainConfig(batch_size=batch, bf16=bf16, use_spectral_norm=use_sn)
+cfg = TrainConfig(batch_size=batch, bf16=bf16, use_spectral_norm=use_sn,
+                  fast_spectral_norm=fast_sn)
 state = create_state(cfg, jax.random.PRNGKey(0))
 
 seg = cfg.segment_length
@@ -97,7 +99,8 @@ def d_fwd_bwd(d_params, real, fake):
 
 full = jax.jit(make_train_step(cfg))
 
-print(f"batch={batch} bf16={bf16} use_spectral_norm={use_sn} seg={seg}")
+print(f"batch={batch} bf16={bf16} use_spectral_norm={use_sn} "
+      f"fast_spectral_norm={fast_sn} seg={seg}")
 
 if remainder:
     # --remainder: isolate the pieces of the full step that the four

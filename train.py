@@ -60,6 +60,14 @@ def parse_args():
                              "reference supports this at module level, "
                              "discriminators.py:243-248, but never exposed "
                              "a flag).")
+    parser.add_argument("--fast_spectral_norm", action="store_true",
+                        help="With --use_spectral_norm: concat-batch the "
+                             "real+fake discriminator applies (the fast "
+                             "weight-norm schedule). Same per-sample math; "
+                             "the u/v power-iteration trajectory differs "
+                             "from torch's sequential order but converges "
+                             "to the same steady state "
+                             "(tools/sn_dynamics.py).")
     parser.add_argument("--bf16", action="store_true",
                         help="bf16 discriminator compute (f32 params and "
                              "optimizer state; MXU accumulates f32). "
@@ -122,6 +130,7 @@ def main():
         gru_groups=args.gru_groups,
         max_time_context=args.max_time_context,
         use_spectral_norm=args.use_spectral_norm,
+        fast_spectral_norm=args.fast_spectral_norm,
         bf16=args.bf16,
         seed=args.seed,
         log_interval=args.log_interval,
