@@ -31,6 +31,7 @@ __all__ = [
     "read_checkpoint_meta",
     "state_from_torch_checkpoint",
     "load_generator_params",
+    "save_generator_params_npz",
 ]
 
 _META = "meta.json"
@@ -95,11 +96,42 @@ def read_checkpoint_meta(checkpoint: str) -> Dict[str, Any]:
         return json.load(f)
 
 
+def save_generator_params_npz(path: str, g_params) -> str:
+    """Write ONLY the generator params as a flat .npz ('/'-joined keys).
+
+    The full Orbax training checkpoint carries both discriminators and
+    two optimizer states (~190 MB); inference needs the 135 K-param
+    generator (~0.5 MB). This is the committable serving-weights format
+    -- load_generator_params accepts it everywhere a checkpoint path is
+    taken (infer.py, export.py, eval/compare.py, eval/streaming.py)."""
+    flat = {
+        "/".join(str(getattr(k, "key", k)) for k in p): np.asarray(v)
+        for p, v in jax.tree_util.tree_flatten_with_path(g_params)[0]
+    }
+    ensure_dir(os.path.dirname(os.path.abspath(path)))
+    np.savez(path, **flat)
+    return path
+
+
+def _load_generator_params_npz(path: str):
+    nested: Dict[str, Any] = {}
+    with np.load(path) as z:
+        for key in z.files:
+            node = nested
+            parts = key.split("/")
+            for p in parts[:-1]:
+                node = node.setdefault(p, {})
+            node[parts[-1]] = z[key]
+    return nested
+
+
 def load_generator_params(checkpoint: str, cfg: TrainConfig):
-    """Checkpoint -> generator params. Accepts our Orbax checkpoint dirs
-    and reference PyTorch .pt files (infer.py:98-128 equivalent). For .pt
-    files only the 'enhancer' entry is needed (discriminators are
-    training-only)."""
+    """Checkpoint -> generator params. Accepts our Orbax checkpoint dirs,
+    generator-only .npz files (save_generator_params_npz), and reference
+    PyTorch .pt files (infer.py:98-128 equivalent). For .pt files only
+    the 'enhancer' entry is needed (discriminators are training-only)."""
+    if checkpoint.endswith(".npz") and os.path.isfile(checkpoint):
+        return _load_generator_params_npz(checkpoint)
     if os.path.isdir(checkpoint):
         # The restore template's pytree structure must match the
         # training-time one; use_spectral_norm changes it (spectral u/v

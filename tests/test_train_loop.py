@@ -62,6 +62,31 @@ def test_checkpoint_roundtrip(tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_generator_npz_roundtrip(tmp_path):
+    """Serving-weights .npz (generator only, the committable format of
+    docs/TRAIN_DEMO.md) roundtrips exactly through the same
+    load_generator_params entry point infer.py/export.py use."""
+    from lct_gan_tpu.train.checkpoint import (
+        load_generator_params,
+        save_generator_params_npz,
+    )
+
+    state = create_state(CFG, jax.random.PRNGKey(0))
+    path = save_generator_params_npz(str(tmp_path / "g.npz"), state.g_params)
+    loaded = load_generator_params(path, CFG)
+
+    def flat(tree):
+        return {
+            "/".join(str(getattr(k, "key", k)) for k in p): np.asarray(v)
+            for p, v in jax.tree_util.tree_flatten_with_path(tree)[0]
+        }
+
+    a, b = flat(state.g_params), flat(loaded)
+    assert sorted(a) == sorted(b)
+    for k in a:
+        np.testing.assert_array_equal(a[k], b[k], err_msg=k)
+
+
 @pytest.mark.slow
 def test_run_training_and_resume(tmp_path):
     root = str(tmp_path / "data")
