@@ -32,6 +32,70 @@ def banded_causal_mask(length: int, lookback: int) -> jax.Array:
     return (k <= q) & (k >= q - lookback)
 
 
+def _blocked_banded_attention(q, k, v, lookback: int,
+                              key_bias: Optional[jax.Array]) -> jax.Array:
+    """Banded-causal attention in O(S * lookback) instead of the masked
+    path's O(S^2): queries are tiled into blocks of W = lookback rows;
+    block i's key window [iW - W, iW + W) covers every key its rows may
+    attend (qpos - kpos in [0, W]), so two key blocks suffice. Exact same
+    key set and softmax as banded_causal_mask -- outputs match the masked
+    path to float reassociation noise. q/k/v: [B, nh, S, hd];
+    key_bias: optional [B, S] additive per-key bias (0/-1e30)."""
+    B, nh, S, hd = q.shape
+    W = max(int(lookback), 1)
+    n = -(-S // W)  # ceil
+    Sp = n * W
+    pad = Sp - S
+
+    qp = jnp.pad(q, ((0, 0), (0, 0), (0, pad), (0, 0)))
+    kp = jnp.pad(k, ((0, 0), (0, 0), (0, pad), (0, 0)))
+    vp = jnp.pad(v, ((0, 0), (0, 0), (0, pad), (0, 0)))
+    qb = qp.reshape(B, nh, n, W, hd)
+    kb = kp.reshape(B, nh, n, W, hd)
+    vb = vp.reshape(B, nh, n, W, hd)
+
+    # Key context for block i = [block i-1, block i] (zeros for i = 0;
+    # masked below via the global-position validity term).
+    def ctx(t):
+        prev = jnp.pad(t[:, :, :-1], ((0, 0), (0, 0), (1, 0), (0, 0), (0, 0)))
+        return jnp.concatenate([prev, t], axis=3)  # [B, nh, n, 2W, hd]
+
+    kc, vc = ctx(kb), ctx(vb)
+
+    scores = jnp.einsum("bhnqd,bhnkd->bhnqk", qb, kc,
+                        preferred_element_type=jnp.float32)
+    scores = scores / jnp.sqrt(jnp.asarray(hd, scores.dtype))
+
+    # Local band: query row a (global iW + a) attends local key j (global
+    # (i-1)W + j) iff a <= j <= a + W -- i-independent. Global validity:
+    # 0 <= kpos < S (kills the i=0 zero block and the tail padding).
+    a = jnp.arange(W)[:, None]
+    j = jnp.arange(2 * W)[None, :]
+    band = (j >= a) & (j <= a + W)  # [W, 2W]
+    kpos = (jnp.arange(n)[:, None] - 1) * W + jnp.arange(2 * W)[None, :]
+    valid = (kpos >= 0) & (kpos < S)  # [n, 2W]
+    # The self key (j == a + W) stays structurally attendable even for the
+    # Sp-padding query rows (whose outputs are sliced off below): an
+    # all--inf score row softmaxes to NaN, which is harmless forward but
+    # poisons gradients through the slice's zero cotangent.
+    mask = (band[None, :, :] & valid[:, None, :]) | (j == a + W)[None]
+    if key_bias is not None:
+        kb_pad = jnp.pad(key_bias, ((0, 0), (0, pad)))
+        prev = jnp.pad(kb_pad.reshape(B, n, W)[:, :-1],
+                       ((0, 0), (1, 0), (0, 0)))
+        bias_ctx = jnp.concatenate(
+            [prev, kb_pad.reshape(B, n, W)], axis=2)  # [B, n, 2W]
+        scores = scores + bias_ctx[:, None, :, None, :]
+    # -inf out-of-band (same fill as the masked path, so even rows whose
+    # whole band is key_bias-masked agree: both give uniform-over-band).
+    scores = jnp.where(mask[None, None], scores, -jnp.inf)
+
+    attn = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum("bhnqk,bhnkd->bhnqd", attn, vc,
+                     preferred_element_type=jnp.float32)
+    return out.reshape(B, nh, Sp, hd)[:, :, :S]
+
+
 # Above this sequence length the fused kernel's [R, R] f32 scores scratch
 # (R = block_seqs * S) no longer fits comfortably in ~16 MB VMEM
 # (S=2048 -> 16 MB for the scratch alone); dispatch to the jnp path, which
@@ -109,7 +173,9 @@ class MultiHeadSelfAttention(nn.Module):
                               key_bias=key_bias,
                               interpret=(mode == "interpret"))
 
-        if mask is None and lookback is not None:
+        blocked_banded = (mask is None and lookback is not None
+                          and S >= 3 * max(lookback, 1))
+        if mask is None and lookback is not None and not blocked_banded:
             mask = banded_causal_mask(S, lookback)
 
         qkv = jnp.einsum("bse,ef->bsf", x, in_kernel,
@@ -120,6 +186,14 @@ class MultiHeadSelfAttention(nn.Module):
             return t.reshape(B, S, nh, hd).transpose(0, 2, 1, 3)
 
         q, k, v = heads(q), heads(k), heads(v)
+        if blocked_banded:
+            # O(S * W) two-key-block tiling instead of masked O(S^2) --
+            # same key set and softmax, so outputs match the masked path
+            # to float reassociation noise (tests/test_attention_banded.py).
+            out = _blocked_banded_attention(q, k, v, lookback, key_bias)
+            out = out.transpose(0, 2, 1, 3).reshape(B, S, E)
+            return jnp.einsum("bse,ef->bsf", out, out_kernel,
+                              preferred_element_type=jnp.float32) + out_bias
         scores = jnp.einsum("bhqd,bhkd->bhqk", q, k,
                             preferred_element_type=jnp.float32)
         scores = scores / jnp.sqrt(jnp.asarray(hd, scores.dtype))
