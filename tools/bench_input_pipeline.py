@@ -109,31 +109,37 @@ def decode_scaling(root: str, args):
         wave, sr = load_mono_wave(p, 16000)
         audio_total += wave.shape[0] / sr
 
-    # (1)+(2) serial pass, native section timed separately inside it.
-    t_native = 0.0
-    t0 = time.time()
-    for p in paths:
-        tn = time.time()
-        if native is not None:
-            native(p, 16000)
-        t_native += time.time() - tn
-        if native is None:
+    # (1)+(2): repeated interleaved passes (full wrapper vs native-only),
+    # median-of-rounds -- a single pass's full-minus-native subtraction is
+    # noise-dominated when the python overhead is microseconds.
+    rounds = 5
+    t_fulls, t_natives = [], []
+    for _ in range(rounds):
+        t0 = time.time()
+        for p in paths:
             load_mono_wave(p, 16000)
-    t_total = time.time() - t0
-    serial_rate = audio_total / t_total
-    # Python-side (GIL-held) overhead per decode: full wrapper minus the
-    # native section. Measured the other way around (wrapper-inclusive
-    # minus native-only) to avoid instrumenting library code.
-    t1 = time.time()
-    for p in paths:
-        load_mono_wave(p, 16000)
-    t_full = time.time() - t1
+        t_fulls.append(time.time() - t0)
+        if native is not None:
+            t0 = time.time()
+            for p in paths:
+                native(p, 16000)
+            t_natives.append(time.time() - t0)
+    t_full = sorted(t_fulls)[rounds // 2]
+    t_native = sorted(t_natives)[rounds // 2] if t_natives else t_full
+    serial_rate = audio_total / t_full
+    # GIL-held fraction: everything the wrapper does outside the
+    # GIL-releasing native call. Report the measurement RESOLUTION too --
+    # with microsecond overheads the subtraction can sit below timer noise
+    # (spread of the full-pass rounds), in which case p is an upper bound.
+    noise = (max(t_fulls) - min(t_fulls)) / t_full
     p_gil = max(t_full - t_native, 0.0) / t_full
+    p_bound = max(p_gil, noise)
     print(f"serial: {audio_total:.0f} audio-sec in {t_full:.2f}s = "
-          f"{audio_total / t_full:.0f} audio-sec/s "
+          f"{serial_rate:.0f} audio-sec/s "
           f"({t_full / len(paths) * 1e3:.2f} ms/file); native section "
           f"{t_native / len(paths) * 1e3:.2f} ms/file -> GIL-held "
-          f"fraction p = {p_gil:.3f}", flush=True)
+          f"fraction p = {p_gil:.4f} (round-to-round noise {noise:.4f}; "
+          f"treat p <= {p_bound:.4f})", flush=True)
 
     # (3) thread scaling on THIS host.
     ncpu = os.cpu_count() or 1
@@ -144,17 +150,23 @@ def decode_scaling(root: str, args):
         dt = time.time() - t0
         ex.shutdown()
         print(f"threads={w}: {audio_total / dt:.0f} audio-sec/s "
-              f"({t_full / dt:.2f}x serial) [host has {ncpu} core(s)]",
-              flush=True)
+              f"({t_full / dt:.2f}x serial) [host has {ncpu} core(s); "
+              f"expect <= 1x on 1 core -- contention only]", flush=True)
 
-    print(f"projection for C-core hosts (Amdahl over p={p_gil:.3f}):",
-          flush=True)
+    print(f"projection for C-core hosts (Amdahl over the p <= "
+          f"{p_bound:.4f} bound):", flush=True)
     for c in (1, 2, 4, 8, 16):
-        s = 1.0 / (p_gil + (1.0 - p_gil) / c)
-        print(f"  C={c:2d}: {s:.2f}x -> {serial_rate * s:.0f} audio-sec/s",
-              flush=True)
-    print(f"  asymptote (GIL-serialized ceiling): {1.0 / max(p_gil, 1e-9):.1f}x "
-          f"-> {serial_rate / max(p_gil, 1e-9):.0f} audio-sec/s", flush=True)
+        s = 1.0 / (p_bound + (1.0 - p_bound) / c)
+        print(f"  C={c:2d}: >= {s:.2f}x -> {serial_rate * s:.0f} "
+              f"audio-sec/s", flush=True)
+    if p_bound > 5e-3:
+        print(f"  asymptote (GIL-serialized ceiling): "
+              f"{1.0 / p_bound:.0f}x -> {serial_rate / p_bound:.0f} "
+              f"audio-sec/s", flush=True)
+    else:
+        print("  asymptote: GIL-held fraction below measurement resolution "
+              f"(< {p_bound:.4f}) -- no measurable serialization ceiling; "
+              "decode scales with cores until IO/memory binds", flush=True)
 
 
 def main():
