@@ -28,7 +28,12 @@ from typing import Any, Dict, Mapping, Optional
 
 import numpy as np
 
-__all__ = ["export_enhancer_state_dict", "save_torch_enhancer_checkpoint"]
+__all__ = [
+    "export_enhancer_state_dict",
+    "export_mpd_state_dict",
+    "export_msd_state_dict",
+    "save_torch_enhancer_checkpoint",
+]
 
 Array = np.ndarray
 
@@ -109,6 +114,88 @@ def export_generator_state_dict(params: Mapping[str, Any],
     return out
 
 
+def _wn_conv(out: Dict[str, Array], prefix: str, p: Mapping[str, Any],
+             conv1d: bool) -> None:
+    """Inverse of torch_import._wn_conv{1,2}d: v back to torch conv layout,
+    g back to torch weight_norm's [out, 1, ...] dim-0 shape."""
+    v = np.asarray(p["v"])
+    if conv1d:
+        out[f"{prefix}.weight_v"] = _f32(np.transpose(v, (2, 1, 0)))
+        g_shape = (-1, 1, 1)
+    else:
+        out[f"{prefix}.weight_v"] = _f32(np.transpose(v, (3, 2, 0, 1)))
+        g_shape = (-1, 1, 1, 1)
+    out[f"{prefix}.weight_g"] = _f32(np.asarray(p["g"]).reshape(g_shape))
+    out[f"{prefix}.bias"] = _f32(p["bias"])
+
+
+def _sn_conv(out: Dict[str, Array], prefix: str, p: Mapping[str, Any],
+             spectral: Mapping[str, Any], conv1d: bool) -> None:
+    """Inverse of torch_import._sn_conv: kernel back to weight_orig, v back
+    through the (k..., in) -> (in, k...) column permutation."""
+    k = np.asarray(p["kernel"])
+    v = np.asarray(spectral["v"])
+    if conv1d:
+        ksz, in_g, out_ch = k.shape
+        out[f"{prefix}.weight_orig"] = _f32(np.transpose(k, (2, 1, 0)))
+        v_t = v.reshape(ksz, in_g).transpose(1, 0).reshape(-1)
+    else:
+        kh, kw, in_g, out_ch = k.shape
+        out[f"{prefix}.weight_orig"] = _f32(np.transpose(k, (3, 2, 0, 1)))
+        v_t = v.reshape(kh, kw, in_g).transpose(2, 0, 1).reshape(-1)
+    out[f"{prefix}.weight_u"] = _f32(spectral["u"])
+    out[f"{prefix}.weight_v"] = _f32(v_t)
+    out[f"{prefix}.bias"] = _f32(p["bias"])
+
+
+def export_mpd_state_dict(params: Mapping[str, Any],
+                          spectral: Optional[Mapping[str, Any]] = None,
+                          periods=(2, 3, 5, 7, 11)) -> Dict[str, Array]:
+    """Our MultiPeriodDiscriminator params -> reference state_dict
+    (discriminators.py:106-147). Pass the 'spectral' tree for
+    use_spectral_norm=True checkpoints."""
+    out: Dict[str, Array] = {}
+    for i, p in enumerate(periods):
+        sub = params[f"disc_p{p}"]
+        ssub = spectral.get(f"disc_p{p}") if spectral else None
+        for j in range(5):
+            if ssub is not None:
+                _sn_conv(out, f"discriminators.{i}.convs.{j}",
+                         sub[f"conv{j}"], ssub[f"conv{j}"], conv1d=False)
+            else:
+                _wn_conv(out, f"discriminators.{i}.convs.{j}",
+                         sub[f"conv{j}"], conv1d=False)
+        if ssub is not None:
+            _sn_conv(out, f"discriminators.{i}.conv_post",
+                     sub["conv_post"], ssub["conv_post"], conv1d=False)
+        else:
+            _wn_conv(out, f"discriminators.{i}.conv_post",
+                     sub["conv_post"], conv1d=False)
+    return out
+
+
+def export_msd_state_dict(params: Mapping[str, Any],
+                          spectral: Optional[Mapping[str, Any]] = None,
+                          num_scales: int = 3) -> Dict[str, Array]:
+    """Our MultiScaleDiscriminator params -> reference state_dict
+    (discriminators.py:227-286; spectral norm on scale 0 only when the
+    'spectral' tree is given, matching discriminators.py:243-248)."""
+    out: Dict[str, Array] = {}
+    for i in range(num_scales):
+        sub = params[f"disc_s{i}"]
+        ssub = (spectral.get(f"disc_s{i}")
+                if spectral and f"disc_s{i}" in spectral else None)
+        for j in range(7):
+            name = f"conv{j}" if j < 6 else "conv_post"
+            tkey = (f"discriminators.{i}.convs.{j}" if j < 6
+                    else f"discriminators.{i}.conv_post")
+            if ssub is not None:
+                _sn_conv(out, tkey, sub[name], ssub[name], conv1d=True)
+            else:
+                _wn_conv(out, tkey, sub[name], conv1d=True)
+    return out
+
+
 def _hann_periodic(n: int) -> Array:
     # torch.hann_window(n) default periodic=True (reference stft.py:56).
     return (0.5 - 0.5 * np.cos(
@@ -129,33 +216,52 @@ def save_torch_enhancer_checkpoint(path: str, params: Mapping[str, Any],
                                    compress_c: float = 0.3,
                                    max_time_context: Optional[int] = None,
                                    extra_meta: Optional[Dict[str, Any]]
+                                   = None,
+                                   mpd_sd: Optional[Mapping[str, Array]]
+                                   = None,
+                                   msd_sd: Optional[Mapping[str, Array]]
                                    = None) -> str:
     """Write a reference-compatible .pt: {'enhancer': state_dict, 'args':
-    {...}} (reference infer.py:98-128 contract). Runs torch in a
-    SUBPROCESS for the same tunnel-deadlock reason as
-    load_torch_state_dict. Set LCT_TORCH_INPROC=1 to save in-process."""
+    {...}} (reference infer.py:98-128 contract), plus optional 'mpd' and
+    'msd' state_dicts (export_{mpd,msd}_state_dict) for discriminator
+    warm starts on the reference side. Runs torch in a SUBPROCESS for the
+    same tunnel-deadlock reason as load_torch_state_dict. Set
+    LCT_TORCH_INPROC=1 to save in-process."""
     import json
     import os
     import subprocess
     import sys
     import tempfile
 
-    sd = export_enhancer_state_dict(params)
+    entries = {"enhancer": export_enhancer_state_dict(params)}
+    if mpd_sd is not None:
+        entries["mpd"] = dict(mpd_sd)
+    if msd_sd is not None:
+        entries["msd"] = dict(msd_sd)
     args = {"compress_c": float(compress_c),
             "max_time_context": max_time_context}
     if extra_meta:
         args.update(extra_meta)
 
+    # One flat npz; '\x1f'-joined (entry, key) names survive arbitrary
+    # state_dict keys (which contain '.').
+    flat = {f"{entry}\x1f{k}": v for entry, sd in entries.items()
+            for k, v in sd.items()}
+
     def _save_inproc(npz_path: str) -> None:
         import torch
 
+        ckpt: Dict[str, Any] = {"args": args}
         with np.load(npz_path) as z:
-            tensors = {k: torch.from_numpy(np.array(z[k])) for k in z.files}
-        torch.save({"enhancer": tensors, "args": args}, path)
+            for name in z.files:
+                entry, k = name.split("\x1f", 1)
+                ckpt.setdefault(entry, {})[k] = torch.from_numpy(
+                    np.array(z[name]))
+        torch.save(ckpt, path)
 
     with tempfile.TemporaryDirectory() as td:
         npz = os.path.join(td, "sd.npz")
-        np.savez(npz, **sd)
+        np.savez(npz, **flat)
         if os.environ.get("LCT_TORCH_INPROC"):
             _save_inproc(npz)
             return path
@@ -163,9 +269,13 @@ def save_torch_enhancer_checkpoint(path: str, params: Mapping[str, Any],
             "import sys, json, numpy as np, torch\n"
             "npz, path, args = sys.argv[1], sys.argv[2], "
             "json.loads(sys.argv[3])\n"
+            "ckpt = {'args': args}\n"
             "with np.load(npz) as z:\n"
-            "    sd = {k: torch.from_numpy(np.array(z[k])) for k in z.files}\n"
-            "torch.save({'enhancer': sd, 'args': args}, path)\n")
+            "    for name in z.files:\n"
+            "        entry, k = name.split('\\x1f', 1)\n"
+            "        ckpt.setdefault(entry, {})[k] = "
+            "torch.from_numpy(np.array(z[name]))\n"
+            "torch.save(ckpt, path)\n")
         subprocess.run(
             [sys.executable, "-c", script, npz, path, json.dumps(args)],
             check=True, capture_output=True, timeout=600)

@@ -1,13 +1,17 @@
-"""Reverse conversion: our param tree -> reference PyTorch checkpoint.
+"""Reverse conversion: our param trees -> reference PyTorch checkpoints.
 
-Pins the torch-export path (convert/torch_export.py) three ways:
+Pins the torch-export path (convert/torch_export.py):
   1. import -> export roundtrips every reference PARAMETER exactly (the
      synthesized stft.window buffer to float ULPs);
   2. the exported state_dict loads into the reference LCTEnhancer with
      strict=True (reference infer.py:126 contract) and reproduces our
      enhancer's output on a waveform;
   3. save_torch_enhancer_checkpoint writes a .pt that our own
-     load_generator_params reads back bit-exact (full circle).
+     load_generator_params reads back bit-exact (full circle);
+  4. MPD/MSD roundtrip exactly in both norm modes (weight-norm g/v,
+     spectral-norm weight_orig/u/v with the matricization permutation)
+     and a full {'enhancer','mpd','msd'} export strict-loads into all
+     three reference modules.
 """
 
 import os
@@ -108,3 +112,86 @@ def test_checkpoint_full_circle(tmp_path, monkeypatch, ref_enhancer):
     assert sorted(a) == sorted(b)
     for k in a:
         np.testing.assert_array_equal(a[k], b[k], err_msg=k)
+
+
+def test_discriminator_export_roundtrip_weight_norm():
+    """MPD/MSD weight-norm import -> export roundtrips every entry
+    exactly (reference discriminators.py state_dict layout)."""
+    from lct_gan_tpu.convert.torch_export import (
+        export_mpd_state_dict,
+        export_msd_state_dict,
+    )
+    from lct_gan_tpu.convert.torch_import import convert_mpd, convert_msd
+
+    _, _, ref_disc_mod, _ = import_reference()
+    torch.manual_seed(11)
+    mpd = ref_disc_mod.MultiPeriodDiscriminator().eval()
+    msd = ref_disc_mod.MultiScaleDiscriminator().eval()
+    for mod, conv, exp in ((mpd, convert_mpd, export_mpd_state_dict),
+                           (msd, convert_msd, export_msd_state_dict)):
+        sd0 = {k: v.detach().cpu().numpy()
+               for k, v in mod.state_dict().items()}
+        sd1 = exp(conv(sd0))
+        assert sorted(sd1) == sorted(sd0)
+        for k in sd0:
+            np.testing.assert_array_equal(sd1[k], sd0[k], err_msg=k)
+
+
+def test_discriminator_export_roundtrip_spectral_norm():
+    """Spectral-norm variants: weight_orig/u/v (with the matricization
+    column permutation) must roundtrip exactly; MSD mixes SN (scale 0)
+    with WN (scales 1-2) per discriminators.py:243-248."""
+    from lct_gan_tpu.convert.torch_export import (
+        export_mpd_state_dict,
+        export_msd_state_dict,
+    )
+    from lct_gan_tpu.convert.torch_import import (
+        convert_mpd_sn,
+        convert_msd_sn,
+    )
+
+    _, _, ref_disc_mod, _ = import_reference()
+    torch.manual_seed(13)
+    mpd = ref_disc_mod.MultiPeriodDiscriminator(use_spectral_norm=True)
+    msd = ref_disc_mod.MultiScaleDiscriminator(use_spectral_norm=True)
+    for mod, conv, exp in (
+            (mpd, convert_mpd_sn, export_mpd_state_dict),
+            (msd, convert_msd_sn, export_msd_state_dict)):
+        sd0 = {k: v.detach().cpu().numpy()
+               for k, v in mod.state_dict().items()}
+        params, spectral = conv(sd0)
+        sd1 = exp(params, spectral)
+        assert sorted(sd1) == sorted(sd0)
+        for k in sd0:
+            np.testing.assert_array_equal(sd1[k], sd0[k], err_msg=k)
+
+
+def test_checkpoint_with_discriminators_loads_strict(tmp_path, monkeypatch):
+    """A full model-state export ({'enhancer','mpd','msd','args'}) must
+    strict-load into all three reference modules."""
+    monkeypatch.setenv("LCT_TORCH_INPROC", "1")
+    from lct_gan_tpu.convert.torch_export import (
+        export_mpd_state_dict,
+        export_msd_state_dict,
+        save_torch_enhancer_checkpoint,
+    )
+    from lct_gan_tpu.train import TrainConfig, create_state
+
+    _, ref_gen_mod, ref_disc_mod, _ = import_reference()
+    state = create_state(
+        TrainConfig(segment_seconds=0.25, batch_size=2),
+        jax.random.PRNGKey(5))
+    path = str(tmp_path / "full.pt")
+    save_torch_enhancer_checkpoint(
+        path, state.g_params,
+        mpd_sd=export_mpd_state_dict(state.mpd_params),
+        msd_sd=export_msd_state_dict(state.msd_params))
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    enh = ref_gen_mod.LCTEnhancer(
+        gen_cfg=ref_gen_mod.LCTGeneratorConfig(), c=0.3)
+    enh.load_state_dict(ckpt["enhancer"], strict=True)
+    ref_disc_mod.MultiPeriodDiscriminator().load_state_dict(
+        ckpt["mpd"], strict=True)
+    ref_disc_mod.MultiScaleDiscriminator().load_state_dict(
+        ckpt["msd"], strict=True)
