@@ -133,3 +133,30 @@ def test_blocked_banded_grads_finite_with_padding():
 
     g = jax.grad(loss)(q)
     assert np.isfinite(np.asarray(g)).all()
+
+
+def test_enhancer_banded_blocked_matches_kernel_band_bias():
+    """Integration seam: a banded enhancer at frame counts >= 3W runs the
+    blocked O(S*W) path on the jnp branch and the block-bias band inside
+    the fused kernels -- the two productions must agree within the bf16
+    kernel noise band (same band tests/test_pallas_ftf.py pins for full
+    attention)."""
+    from lct_gan_tpu.models import LCTGeneratorConfig, LctEnhancer
+    from lct_gan_tpu.ops.dispatch import pallas_override
+
+    W = 16
+    L = int(3.3 * 16000)  # 207 frames >= 3W -> blocked path active
+    enhancer = LctEnhancer(
+        gen_cfg=LCTGeneratorConfig(max_time_context=W))
+    wave = 0.1 * np.asarray(jax.random.normal(
+        jax.random.PRNGKey(5), (1, L), jnp.float32))
+    params = enhancer.init(jax.random.PRNGKey(0),
+                           jnp.asarray(wave))["params"]
+
+    with pallas_override(None):  # jnp branch -> blocked banded
+        blocked, _ = jax.jit(enhancer.apply)(
+            {"params": params}, jnp.asarray(wave))
+    with pallas_override("interpret"):  # fused kernels -> band bias
+        kernel, _ = jax.jit(enhancer.apply)(
+            {"params": params}, jnp.asarray(wave))
+    assert np.abs(np.asarray(blocked) - np.asarray(kernel)).max() < 2e-3
