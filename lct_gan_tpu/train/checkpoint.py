@@ -83,12 +83,17 @@ def latest_checkpoint(ckpt_dir: str) -> Optional[str]:
 
 
 def read_checkpoint_meta(checkpoint: str) -> Dict[str, Any]:
-    """Return the JSON meta sidecar of an Orbax checkpoint dir ({} if the
-    path is not a dir / has no meta). meta['train_cfg'] carries the
-    training-time TrainConfig -- inference must honor hyperparameters that
-    change behavior without changing param shapes (max_time_context,
-    compress_c), or a banded-causal-trained generator would silently be
-    served with full attention."""
+    """Return the JSON meta of a checkpoint: the sidecar of an Orbax dir,
+    or the embedded meta of a generator .npz ({} if absent).
+    meta['train_cfg'] carries the training-time TrainConfig -- inference
+    must honor hyperparameters that change behavior without changing
+    param shapes (max_time_context, compress_c), or a banded-causal-
+    trained generator would silently be served with full attention."""
+    if checkpoint.endswith(".npz") and os.path.isfile(checkpoint):
+        with np.load(checkpoint) as z:
+            if _NPZ_META_KEY in z.files:
+                return json.loads(bytes(z[_NPZ_META_KEY]).decode("utf-8"))
+        return {}
     meta_path = os.path.join(os.path.abspath(checkpoint), _META)
     if not os.path.isfile(meta_path):
         return {}
@@ -96,18 +101,32 @@ def read_checkpoint_meta(checkpoint: str) -> Dict[str, Any]:
         return json.load(f)
 
 
-def save_generator_params_npz(path: str, g_params) -> str:
+_NPZ_META_KEY = "__meta_json__"
+
+
+def save_generator_params_npz(path: str, g_params,
+                              meta: Optional[Dict[str, Any]] = None) -> str:
     """Write ONLY the generator params as a flat .npz ('/'-joined keys).
 
     The full Orbax training checkpoint carries both discriminators and
     two optimizer states (~190 MB); inference needs the 135 K-param
     generator (~0.5 MB). This is the committable serving-weights format
     -- load_generator_params accepts it everywhere a checkpoint path is
-    taken (infer.py, export.py, eval/compare.py, eval/streaming.py)."""
+    taken (infer.py, export.py, eval/compare.py, eval/streaming.py).
+
+    `meta` (the Orbax checkpoint's JSON sidecar) is embedded so
+    behavior-changing hyperparameters survive extraction: infer.py and
+    export.py read train_cfg.max_time_context / compress_c via
+    read_checkpoint_meta, and a banded-causal-trained generator must not
+    silently be served with full attention."""
     flat = {
         "/".join(str(getattr(k, "key", k)) for k in p): np.asarray(v)
         for p, v in jax.tree_util.tree_flatten_with_path(g_params)[0]
     }
+    assert _NPZ_META_KEY not in flat
+    if meta is not None:
+        flat[_NPZ_META_KEY] = np.frombuffer(
+            json.dumps(meta).encode("utf-8"), dtype=np.uint8)
     ensure_dir(os.path.dirname(os.path.abspath(path)))
     np.savez(path, **flat)
     return path
@@ -117,6 +136,8 @@ def _load_generator_params_npz(path: str):
     nested: Dict[str, Any] = {}
     with np.load(path) as z:
         for key in z.files:
+            if key == _NPZ_META_KEY:
+                continue
             node = nested
             parts = key.split("/")
             for p in parts[:-1]:

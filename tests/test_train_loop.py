@@ -87,6 +87,33 @@ def test_generator_npz_roundtrip(tmp_path):
         np.testing.assert_array_equal(a[k], b[k], err_msg=k)
 
 
+def test_generator_npz_preserves_meta(tmp_path):
+    """Extraction must carry the checkpoint meta: infer.py/export.py read
+    train_cfg.max_time_context and compress_c via read_checkpoint_meta,
+    and a banded-trained generator served full-attention would be a
+    silent behavior change."""
+    from lct_gan_tpu.train.checkpoint import (
+        read_checkpoint_meta,
+        save_generator_params_npz,
+    )
+    from lct_gan_tpu.utils import to_jsonable
+
+    state = create_state(CFG, jax.random.PRNGKey(0))
+    meta = {"epoch": 7,
+            "train_cfg": to_jsonable(
+                TrainConfig(max_time_context=64, compress_c=0.25))}
+    path = save_generator_params_npz(str(tmp_path / "g.npz"),
+                                     state.g_params, meta=meta)
+    got = read_checkpoint_meta(path)
+    assert got["epoch"] == 7
+    assert got["train_cfg"]["max_time_context"] == 64
+    assert got["train_cfg"]["compress_c"] == 0.25
+    # And a meta-less npz still reads as {} (no crash).
+    bare = save_generator_params_npz(str(tmp_path / "bare.npz"),
+                                     state.g_params)
+    assert read_checkpoint_meta(bare) == {}
+
+
 @pytest.mark.slow
 def test_run_training_and_resume(tmp_path):
     root = str(tmp_path / "data")

@@ -40,7 +40,9 @@ def main():
 
     meta = read_checkpoint_meta(args.ckpt_dir)
     g = load_generator_params(args.ckpt_dir, TrainConfig())
-    path = save_generator_params_npz(args.out_npz, g)
+    # Embed the meta so train_cfg.max_time_context / compress_c keep
+    # steering infer.py / export.py after extraction.
+    path = save_generator_params_npz(args.out_npz, g, meta=meta)
     n = sum(int(np.asarray(x).size) for x in jax.tree.leaves(g))
     print(f"{args.ckpt_dir} (epoch {meta.get('epoch', '?')}, "
           f"best_val {meta.get('best_val', '?')}) -> {path}: "
