@@ -13,6 +13,12 @@ workload as this benchmark (torch 2.13.0+cpu, 1 thread, batch 128 x 2 s
 vs_baseline is our TPU throughput over that number. Details go to stderr;
 the JSON line is the only stdout output.
 
+Serving configuration: weights are BAKED into the jitted program
+(eval/serve.py bake_enhance) -- the same configuration infer.py serves
+with, measured 1.06x the params-as-argument jit on TPU 2026-08-19
+(infer.py:143). Both sides hold weights fixed for the whole run, so this
+matches the torch baseline's footing (fixed nn.Module weights).
+
 `--full` switches to the full-utterance workload validation/inference
 actually run (VERDICT r3 weak #2): 256 utterances drawn from a seeded
 1.5-10 s length distribution, length-sorted and batched ADAPTIVELY
@@ -112,28 +118,26 @@ def run_fixed(max_time_context=None):
     import jax
     import jax.numpy as jnp
 
-    enhancer, params, wave = _setup(max_time_context)
+    from lct_gan_tpu.eval.serve import bake_enhance
 
-    @jax.jit
-    def enhance(p, x):
-        out, _ = enhancer.apply({"params": p}, x)
-        return out
+    enhancer, params, wave = _setup(max_time_context)
+    enhance = bake_enhance(enhancer, params)
 
     # NOTE: on the tunneled TPU platform block_until_ready can return
     # early; a host fetch of a value derived from the LAST dispatched step
     # is the reliable fence (device executes in order).
     t0 = time.time()
-    float(jnp.sum(enhance(params, wave)))
+    float(jnp.sum(enhance(wave)))
     log(f"compile+first run: {time.time() - t0:.2f}s")
 
     for _ in range(WARMUP):
-        float(jnp.sum(enhance(params, wave)))
+        float(jnp.sum(enhance(wave)))
 
     audio_sec = BATCH * SECONDS * ITERS
     values = []
     for rep in range(REPS):
         t0 = time.time()
-        outs = [enhance(params, wave) for _ in range(ITERS)]
+        outs = [enhance(wave) for _ in range(ITERS)]
         float(jnp.sum(outs[-1]))
         dt = time.time() - t0
         values.append(audio_sec / dt)
@@ -155,13 +159,10 @@ def run_full(max_time_context=None):
     import numpy as np
 
     from lct_gan_tpu.data import bucket_length
+    from lct_gan_tpu.eval.serve import bake_enhance
 
     enhancer, params, _ = _setup(max_time_context)
-
-    @jax.jit
-    def enhance(p, x, lengths):
-        out, _ = enhancer.apply({"params": p}, x, lengths=lengths)
-        return out
+    enhance = bake_enhance(enhancer, params)
 
     rng = np.random.default_rng(11)
     lens = full_utterance_lengths()
@@ -181,15 +182,15 @@ def run_full(max_time_context=None):
 
     t0 = time.time()
     for x, ln in batches:  # compile every bucket shape
-        float(jnp.sum(enhance(params, x, ln)))
+        float(jnp.sum(enhance(x, ln)))
     log(f"compile+first pass: {time.time() - t0:.2f}s")
     for x, ln in batches:  # warm pass
-        float(jnp.sum(enhance(params, x, ln)))
+        float(jnp.sum(enhance(x, ln)))
 
     values = []
     for rep in range(REPS):
         t0 = time.time()
-        out = [enhance(params, x, ln) for x, ln in batches]
+        out = [enhance(x, ln) for x, ln in batches]
         float(jnp.sum(out[-1]))
         dt = time.time() - t0
         values.append(total_audio / dt)
