@@ -102,6 +102,13 @@ def _blocked_banded_attention(q, k, v, lookback: int,
 # XLA tiles through HBM. Long bucketed utterances (~60 s audio) hit this.
 MAX_PALLAS_SEQ = 1024
 
+# Banded-causal calls at/above this length route to the block-skipping
+# banded kernel (ops/banded_attention.py -- O(S*W) compute, constant VMEM,
+# no upper S cap) instead of the full kernel, which pays O(S^2) scores
+# with the band as bias. Threshold set by the v5e-1 crossover sweep
+# (tools/bench_banded_attention.py).
+BANDED_KERNEL_MIN_SEQ = 192
+
 
 def _pallas_mode() -> Optional[str]:
     """Shared dispatch policy -- see lct_gan_tpu/ops/dispatch.py."""
@@ -165,6 +172,14 @@ class MultiHeadSelfAttention(nn.Module):
         use_pallas = self.use_pallas
         if use_pallas is None:
             use_pallas = mode is not None
+        if (use_pallas and mask is None and lookback is not None
+                and S >= BANDED_KERNEL_MIN_SEQ):
+            from lct_gan_tpu.ops.banded_attention import banded_mhsa
+
+            return banded_mhsa(x, in_kernel, in_bias, out_kernel, out_bias,
+                               num_heads=nh, lookback=lookback,
+                               key_bias=key_bias,
+                               interpret=(mode == "interpret"))
         if use_pallas and mask is None and S <= MAX_PALLAS_SEQ:
             from lct_gan_tpu.ops.attention import fused_mhsa
 
