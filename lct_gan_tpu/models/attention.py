@@ -105,9 +105,14 @@ MAX_PALLAS_SEQ = 1024
 # Banded-causal calls at/above this length route to the block-skipping
 # banded kernel (ops/banded_attention.py -- O(S*W) compute, constant VMEM,
 # no upper S cap) instead of the full kernel, which pays O(S^2) scores
-# with the band as bias. Threshold set by the v5e-1 crossover sweep
-# (tools/bench_banded_attention.py).
-BANDED_KERNEL_MIN_SEQ = 192
+# with the band as bias. Threshold from the v5e-1 crossover sweep at the
+# production bucket lengths (tools/bench_banded_attention.py, W=64,
+# ~250 audio-sec load, 2026-08-19): the full kernel's packed tiling still
+# wins at S=513/641 (8.4/8.7 ms vs banded 9.9/9.5), parity at 769
+# (9.5 vs 9.3), banded from 897 up (10.5 vs 9.7) and 1.4-1.5x over the
+# blocked jnp path beyond the full kernel's S=1024 VMEM cap (13.3-14.9 ->
+# 9.3-9.9 ms).
+BANDED_KERNEL_MIN_SEQ = 769
 
 
 def _pallas_mode() -> Optional[str]:

@@ -10,7 +10,8 @@ exact O(S*W) formulation exists only as a jnp rewrite
 HBM.
 
 This kernel IS that two-key-block tiling, fused into one VMEM pass:
-queries are tiled into T rows (T = max(64, W rounded up to the sublane));
+queries are tiled into T rows (T in [104, 128] chosen per (W, S) to
+minimize tile padding -- see pick_block_rows; always >= W);
 a query row at global position q attends keys [q - W, q], all of which
 live in key tiles i-1 and i, so each grid step loads exactly two x tiles,
 projects them once (the self tile's projection doubles as this tile's
@@ -82,12 +83,27 @@ def banded_mhsa_reference(x: jax.Array,
                       preferred_element_type=jnp.float32) + out_proj_bias
 
 
-def pick_block_rows(lookback: int) -> int:
-    """Query rows per tile. Must be >= lookback so two key tiles cover the
-    band (keys for rows [iT, iT+T) span [iT - W, iT + T)), >= 8 for the
-    f32 sublane, and defaults to 64 so the [T, 2T] score block fills the
-    128-lane MXU exactly at the production W=64."""
-    return max(64, -(-max(int(lookback), 1) // 8) * 8)
+def pick_block_rows(lookback: int, seq_len: Optional[int] = None) -> int:
+    """Query rows per tile. Constraints: a multiple of 8 (f32 sublane) and
+    >= lookback, so two key tiles cover the band (keys for rows [iT, iT+T)
+    span [iT - W, iT + T)). Within [104, 128] -- the efficient range swept
+    on v5e-1: per-row cost is ~flat across {104..128} but ~35% worse at 64,
+    so raw row-minimizing would overshoot into slow small tiles -- the
+    tile minimizing total padded rows wins: production bucket lengths are
+    2^k+1-shaped (data/pipeline.py::bucket_length), so a fixed T=128 pays
+    up to 25% pad where e.g. T=104 pads 1.4% at S=513. Ties prefer the
+    larger tile. The heuristic's pick matched the measured-fastest tile at
+    every production bucket (tools/bench_banded_attention.py, 2026-08-19)."""
+    w8 = -(-max(int(lookback), 1) // 8) * 8
+    lo, hi = max(104, w8), max(128, w8)
+    if seq_len is None:
+        return hi
+    best, best_rows = hi, -(-int(seq_len) // hi) * hi
+    for t in range(hi - 8, lo - 8, -8):
+        rows = -(-int(seq_len) // t) * t
+        if rows < best_rows:
+            best, best_rows = t, rows
+    return best
 
 
 def _banded_kernel(xp_ref, xs_ref, in_w_ref, in_b_ref, out_w_ref,
@@ -155,7 +171,7 @@ def _banded_mhsa_pallas(x, in_proj_kernel, in_proj_bias, out_proj_kernel,
                         out_proj_bias, num_heads, lookback, block_rows,
                         interpret, key_bias=None):
     N, S, E = x.shape
-    T = block_rows or pick_block_rows(lookback)
+    T = block_rows or pick_block_rows(lookback, S)
     if T < max(int(lookback), 1):
         raise ValueError(f"block_rows {T} < lookback {lookback}: two key "
                          "tiles no longer cover the band")

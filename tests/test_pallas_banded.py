@@ -126,10 +126,18 @@ def test_banded_kernel_grads_finite_with_ragged_tail():
 
 
 def test_pick_block_rows():
-    assert pick_block_rows(64) == 64
-    assert pick_block_rows(1) == 64
-    assert pick_block_rows(100) == 104  # rounds up to the sublane
-    assert pick_block_rows(200) == 200
+    # No length -> largest efficient tile.
+    assert pick_block_rows(64) == 128
+    assert pick_block_rows(1) == 128
+    assert pick_block_rows(200) == 200  # W > 128 forces the tile up
+    # Padding-minimizing picks at the production bucket lengths (matches
+    # the measured-fastest tile, tools/bench_banded_attention.py).
+    assert pick_block_rows(64, 513) == 104   # 520 rows, not 640
+    assert pick_block_rows(64, 641) == 112   # 672 rows
+    assert pick_block_rows(64, 1025) == 104  # 1040 rows, not 1152
+    assert pick_block_rows(64, 2048) == 128  # exact multiple -> no pad
+    # Tile never drops below the band (two key tiles must cover W).
+    assert pick_block_rows(120, 513) >= 120
 
 
 def test_module_dispatch_routes_banded_kernel():
@@ -156,14 +164,19 @@ def test_module_dispatch_routes_banded_kernel():
 
 def test_enhancer_composed_path_uses_banded_kernel():
     """Integration seam: a banded enhancer ABOVE the fused-FTF block's
-    length cap (L > 512 frames) composes LN/GRU/attention -- its time
-    attention now runs the banded kernel. jnp production vs interpret
-    production must agree within the bf16 kernel noise band."""
+    length cap (L > 512 frames) composes LN/GRU/attention -- at
+    S >= BANDED_KERNEL_MIN_SEQ its time attention runs the banded kernel.
+    jnp production vs interpret production must agree within the bf16
+    kernel noise band."""
     from lct_gan_tpu.models import LCTGeneratorConfig, LctEnhancer
+    from lct_gan_tpu.models.attention import BANDED_KERNEL_MIN_SEQ
     from lct_gan_tpu.ops.dispatch import pallas_override
 
     W = 64
-    L = int(8.6 * 16000)  # 538 frames > MAX_FTF_SEQ=512 -> composed path
+    # 782 frames: above both MAX_FTF_SEQ=512 (composed path) and the
+    # banded-kernel dispatch threshold.
+    L = int(12.5 * 16000)
+    assert L // 256 + 1 >= BANDED_KERNEL_MIN_SEQ
     enhancer = LctEnhancer(gen_cfg=LCTGeneratorConfig(max_time_context=W))
     wave = 0.1 * np.asarray(jax.random.normal(
         jax.random.PRNGKey(5), (1, L), jnp.float32))
